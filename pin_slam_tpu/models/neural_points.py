@@ -1,0 +1,458 @@
+"""Fixed-capacity neural point map — the TPU-native core state.
+
+Rebuilds the capabilities of the reference's `NeuralPoints` module
+(reference: model/neural_points.py:29-1009) as a pure-functional pytree with
+static shapes:
+
+* point attribute arrays are preallocated at `capacity` (+1 dump row used as
+  the scatter target for masked-out writes),
+* a power-of-two voxel hash table stores the latest point index per cell
+  (reference semantics of buffer_pt_index, model/neural_points.py:88-90),
+* map growth (`torch.cat`, reference :378) becomes masked scatters at a
+  running `count` offset,
+* the reference's materialized "local map" (reset_local_map,
+  model/neural_points.py:424-513) is replaced by *query-time masking* on
+  travel-distance window + radius — no dynamic-shape extraction exists at all,
+  and "assign_local_to_global" becomes a no-op because training updates the
+  global feature arrays in place.
+
+All functions are jit-compatible; python-scalar arguments are compile-time
+constants (closed over by the SLAM system when it builds its jitted steps).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from pin_slam_tpu.ops import hash3d
+from pin_slam_tpu.ops.transforms import (
+    quat_multiply,
+    quat_rotate,
+    rotmat_to_quat,
+    transform_points_batch,
+)
+from pin_slam_tpu.ops.voxel import (
+    voxel_down_sample_mask,
+    voxel_down_sample_min_value_mask,
+)
+
+BIG_DIST2 = jnp.float32(9e3)  # sentinel distance (reference: neural_points.py:583)
+
+
+@struct.dataclass
+class MapState:
+    """Global neural point map. Row `capacity` of each per-point array is a
+    dump row for masked scatters and invalid gathers."""
+
+    positions: jnp.ndarray       # [C+1, 3] f32 world coords
+    orientations: jnp.ndarray    # [C+1, 4] f32 quaternion (w,x,y,z)
+    geo_features: jnp.ndarray    # [C+1, F] f32
+    color_features: Optional[jnp.ndarray]  # [C+1, F] f32 or None
+    ts_create: jnp.ndarray       # [C+1] i32
+    ts_update: jnp.ndarray       # [C+1] i32
+    certainty: jnp.ndarray       # [C+1] f32
+    count: jnp.ndarray           # [] i32 number of valid points
+    table: jnp.ndarray           # [B+1] i32 hash table (-1 empty); row B = dump
+
+    @property
+    def capacity(self) -> int:
+        return self.positions.shape[0] - 1
+
+    @property
+    def table_size(self) -> int:
+        return self.table.shape[0] - 1
+
+
+@struct.dataclass
+class QueryNeighbors:
+    """k nearest neural points per query (reference: query_feature's
+    sorted knn, model/neural_points.py:577-595)."""
+
+    idx: jnp.ndarray       # [N, k] i32 point indices (dump row C when invalid)
+    dist2: jnp.ndarray     # [N, k] f32
+    valid: jnp.ndarray     # [N, k] bool
+    nn_count: jnp.ndarray  # [N] i32 valid-neighbor count BEFORE top-k
+
+
+def init_map_state(
+    capacity: int,
+    table_size: int,
+    feature_dim: int,
+    color_on: bool,
+    dtype=jnp.float32,
+) -> MapState:
+    c1 = capacity + 1
+    return MapState(
+        positions=jnp.zeros((c1, 3), dtype),
+        orientations=jnp.zeros((c1, 4), dtype).at[:, 0].set(1.0),
+        geo_features=jnp.zeros((c1, feature_dim), dtype),
+        color_features=jnp.zeros((c1, feature_dim), dtype) if color_on else None,
+        ts_create=jnp.zeros((c1,), jnp.int32),
+        ts_update=jnp.zeros((c1,), jnp.int32),
+        certainty=jnp.zeros((c1,), dtype),
+        count=jnp.zeros((), jnp.int32),
+        table=jnp.full((table_size + 1,), -1, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# insertion (reference: NeuralPoints.update, model/neural_points.py:311-422)
+# ---------------------------------------------------------------------------
+
+
+def insert_points(
+    state: MapState,
+    points: jnp.ndarray,   # [M, 3] candidate new neural points (world frame)
+    mask: jnp.ndarray,     # [M] validity
+    cur_ts,                # scalar i32 (traced ok)
+    travel_dist: jnp.ndarray,  # [maxT] f32 cumulative travel distance
+    *,
+    resolution: float,
+    local_window_dist: float,
+    feature_noise: Optional[jnp.ndarray] = None,  # [M, F] optional init noise
+    use_reobs_rule: bool = True,
+    force_all_new=False,   # traced bool: reboot path (reference :341,357-360)
+):
+    """Voxel-downsample candidates, probe the hash table, append genuinely new
+    points, and (re)point the table at them. Returns (state, new_point_ratio).
+    """
+    C = state.capacity
+    B = state.table_size
+
+    vmask = voxel_down_sample_mask(points, mask, resolution) & mask
+    grid = hash3d.grid_coords(points, resolution)
+    h = hash3d.hash_grid(grid, B)
+
+    existing = state.table[jnp.where(vmask, h, B)]
+    exist_valid = existing >= 0
+    existing_c = jnp.where(exist_valid, existing, C)
+    epos = state.positions[existing_c]
+    d2 = jnp.sum((epos - points) ** 2, axis=-1)
+    collide = d2 > 3.0 * resolution * resolution  # (reference :345)
+
+    is_new = vmask & (~exist_valid | collide)
+    if use_reobs_rule:
+        # re-add when the occupant was last updated too long (in travel
+        # distance) ago (reference :347-356)
+        delta_td = travel_dist[cur_ts] - travel_dist[state.ts_update[existing_c]]
+        is_new = is_new | (vmask & exist_valid & (delta_td > local_window_dist))
+    is_new = jnp.where(force_all_new, vmask, is_new)
+
+    order = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    slots = state.count + order
+    room = slots < C
+    is_new = is_new & room
+    dest = jnp.where(is_new, slots, C).astype(jnp.int32)
+
+    new_count = jnp.sum(is_new.astype(jnp.int32))
+    sampled = jnp.maximum(jnp.sum(vmask.astype(jnp.int32)), 1)
+    new_ratio = new_count.astype(jnp.float32) / sampled.astype(jnp.float32)
+
+    positions = state.positions.at[dest].set(points)
+    orientations = state.orientations.at[dest].set(
+        jnp.array([1.0, 0.0, 0.0, 0.0], state.orientations.dtype)
+    )
+    ts_new = jnp.broadcast_to(jnp.int32(cur_ts), dest.shape)
+    ts_create = state.ts_create.at[dest].set(ts_new)
+    ts_update = state.ts_update.at[dest].set(ts_new)
+    certainty = state.certainty.at[dest].set(0.0)
+    feat_init = (
+        feature_noise
+        if feature_noise is not None
+        else jnp.zeros((points.shape[0], state.geo_features.shape[1]),
+                       state.geo_features.dtype)
+    )
+    geo_features = state.geo_features.at[dest].set(feat_init)
+    color_features = state.color_features
+    if color_features is not None:
+        color_features = color_features.at[dest].set(feat_init)
+
+    table = state.table.at[jnp.where(vmask, h, B)].set(
+        jnp.where(is_new, dest, existing)
+    )
+    # keep dump row clean
+    table = table.at[B].set(-1)
+
+    new_state = state.replace(
+        positions=positions,
+        orientations=orientations,
+        geo_features=geo_features,
+        color_features=color_features,
+        ts_create=ts_create,
+        ts_update=ts_update,
+        certainty=certainty,
+        count=state.count + new_count,
+        table=table,
+    )
+    return new_state, new_ratio
+
+
+# ---------------------------------------------------------------------------
+# neighborhood query
+# (reference: radius_neighborhood_search + query_feature knn part,
+#  model/neural_points.py:950-1009,577-595)
+# ---------------------------------------------------------------------------
+
+
+def query_neighbors(
+    state: MapState,
+    qpts: jnp.ndarray,          # [N, 3]
+    *,
+    offsets: np.ndarray,        # [K, 3] from hash3d.neighbor_offsets
+    resolution: float,
+    nn_k: int,
+    max_dist2: float,
+    time_filter: bool = False,  # travel-dist local-map window (reference :982-988)
+    travel_dist: Optional[jnp.ndarray] = None,
+    cur_ts=0,
+    local_window_dist: float = 0.0,
+    radius_filter: bool = False,  # local-map radius (reference :475-478)
+    sensor_pos: Optional[jnp.ndarray] = None,
+    local_map_radius: float = 0.0,
+    reboot_ts=0,
+) -> QueryNeighbors:
+    C = state.capacity
+    B = state.table_size
+    offs = jnp.asarray(offsets, jnp.int32)
+
+    grid = hash3d.grid_coords(qpts, resolution)           # [N, 3]
+    cells = grid[:, None, :] + offs[None, :, :]           # [N, K, 3]
+    h = hash3d.hash_grid(cells, B)                        # [N, K]
+    idx = state.table[h]                                  # [N, K]
+    valid = idx >= 0
+    idx_c = jnp.where(valid, idx, C)
+
+    pos = state.positions[idx_c]                          # [N, K, 3]
+    d2 = jnp.sum((pos - qpts[:, None, :]) ** 2, axis=-1)  # [N, K]
+    valid = valid & (d2 <= max_dist2)
+
+    if time_filter:
+        tsc = state.ts_create[idx_c]
+        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[tsc])
+        valid = valid & (dtd < local_window_dist) & (tsc >= reboot_ts)
+    if radius_filter and sensor_pos is not None:
+        d2s = jnp.sum((pos - sensor_pos[None, None, :]) ** 2, axis=-1)
+        valid = valid & (d2s < local_map_radius * local_map_radius)
+
+    nn_count = jnp.sum(valid, axis=-1).astype(jnp.int32)
+    d2 = jnp.where(valid, d2, BIG_DIST2)
+
+    neg_top, arg = jax.lax.top_k(-d2, nn_k)               # [N, k]
+    dist2_k = -neg_top
+    idx_k = jnp.take_along_axis(idx_c, arg, axis=1)
+    valid_k = jnp.take_along_axis(valid, arg, axis=1)
+    idx_k = jnp.where(valid_k, idx_k, C)
+
+    return QueryNeighbors(
+        idx=idx_k.astype(jnp.int32), dist2=dist2_k, valid=valid_k,
+        nn_count=nn_count,
+    )
+
+
+def idw_weights(qn: QueryNeighbors, eps: float = 1e-15) -> jnp.ndarray:
+    """Normalized inverse-distance-squared weights [N, k]
+    (reference: model/neural_points.py:665-683)."""
+    w = 1.0 / (qn.dist2 + eps)
+    w = jnp.where(qn.valid, w, 0.0)
+    empty = qn.nn_count == 0
+    w = jnp.where(empty[:, None], eps, w)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    return jnp.where(qn.valid, w, 0.0)
+
+
+def gather_feature_vectors(
+    state: MapState,
+    qn: QueryNeighbors,
+    qpts: jnp.ndarray,
+    *,
+    color: bool = False,
+    rotate_by_orientation: bool = False,  # after PGO (reference :645-648)
+):
+    """Gather per-neighbor features and geometric offset vectors.
+
+    Returns ([N, k, F+3] geo vectors, [N, k, F+3] color vectors or None).
+    The offset is (query - neighbor position), optionally rotated into the
+    neighbor's frame after map deformation (reference :633-654).
+    """
+    feats = state.geo_features[qn.idx]                    # [N, k, F]
+    vec = qpts[:, None, :] - state.positions[qn.idx]      # [N, k, 3]
+    if rotate_by_orientation:
+        quat = state.orientations[qn.idx]
+        vec = quat_rotate(quat, vec)
+    vec = jnp.where(qn.valid[..., None], vec, 0.0)
+    geo_vec = jnp.concatenate([feats, vec], axis=-1)
+    color_vec = None
+    if color and state.color_features is not None:
+        cfeats = state.color_features[qn.idx]
+        color_vec = jnp.concatenate([cfeats, vec], axis=-1)
+    return geo_vec, color_vec
+
+
+def queried_certainty(state: MapState, qn: QueryNeighbors, w: jnp.ndarray):
+    """IDW-interpolated certainty at the queries (reference :713-718)."""
+    cert = jnp.where(qn.valid, state.certainty[qn.idx], 0.0)
+    return jnp.sum(cert * w, axis=1)
+
+
+def accumulate_certainty(
+    state: MapState, qn: QueryNeighbors, w: jnp.ndarray, query_ts=None
+) -> MapState:
+    """Training-mode side effect: add the IDW weights into the neighbors'
+    certainty and bump their last-update timestamps
+    (reference: model/neural_points.py:688-705)."""
+    C = state.capacity
+    idx = jnp.where(qn.valid, qn.idx, C).reshape(-1)
+    cert = state.certainty.at[idx].add(jnp.where(qn.valid, w, 0.0).reshape(-1))
+    cert = cert.at[C].set(0.0)
+    ts_update = state.ts_update
+    if query_ts is not None:
+        ts_b = jnp.broadcast_to(query_ts[:, None], qn.idx.shape).reshape(-1)
+        ts_update = ts_update.at[idx].max(
+            jnp.where(qn.valid.reshape(-1), ts_b, 0))
+        ts_update = ts_update.at[C].set(0)
+    return state.replace(certainty=cert, ts_update=ts_update)
+
+
+# ---------------------------------------------------------------------------
+# map maintenance
+# ---------------------------------------------------------------------------
+
+
+def _compact(state: MapState, keep: jnp.ndarray) -> MapState:
+    """Pack `keep`-selected rows to the front; rows keep relative order.
+    `keep` is [C+1]; the dump row is never kept."""
+    C = state.capacity
+    keep = keep[:-1]
+    order = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, order, C).astype(jnp.int32)
+
+    new_state = state.replace(
+        positions=jnp.zeros_like(state.positions).at[dest].set(
+            state.positions[:-1]),
+        orientations=jnp.zeros_like(state.orientations)
+        .at[:, 0].set(1.0).at[dest].set(state.orientations[:-1]),
+        geo_features=jnp.zeros_like(state.geo_features).at[dest].set(
+            state.geo_features[:-1]),
+        color_features=None if state.color_features is None else
+        jnp.zeros_like(state.color_features).at[dest].set(
+            state.color_features[:-1]),
+        ts_create=jnp.zeros_like(state.ts_create).at[dest].set(
+            state.ts_create[:-1]),
+        ts_update=jnp.zeros_like(state.ts_update).at[dest].set(
+            state.ts_update[:-1]),
+        certainty=jnp.zeros_like(state.certainty).at[dest].set(
+            state.certainty[:-1]),
+        count=jnp.sum(keep.astype(jnp.int32)),
+    )
+    return new_state
+
+
+def prune_map(
+    state: MapState,
+    cur_ts,
+    travel_dist: jnp.ndarray,
+    *,
+    prune_certainty_thre: float,
+    local_window_dist: float,
+    global_prune: bool = False,
+) -> tuple[MapState, jnp.ndarray]:
+    """Drop inactive low-certainty points (reference: neural_points.py:748-789).
+    Caller must rehash afterwards. Returns (state, prune_count)."""
+    C = state.capacity
+    row_valid = jnp.arange(C + 1) < state.count
+    low_cert = state.certainty < prune_certainty_thre
+    if global_prune:
+        prune = low_cert
+    else:
+        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[state.ts_update])
+        prune = low_cert & (dtd > local_window_dist)
+    prune = prune & row_valid
+    keep = row_valid & ~prune
+    return _compact(state, keep), jnp.sum(prune.astype(jnp.int32))
+
+
+def rehash(
+    state: MapState,
+    cur_ts,
+    *,
+    resolution: float,
+    use_mid_ts: bool,
+    merge: bool = False,
+) -> MapState:
+    """Rebuild the hash table, preferring per voxel the point whose timestamp
+    is closest to `cur_ts` (reference: recreate_hash,
+    model/neural_points.py:819-908). With merge=True, duplicate points in the
+    same voxel are dropped entirely."""
+    C = state.capacity
+    row_valid = jnp.arange(C + 1) < state.count
+    ts_used = (
+        ((state.ts_create + state.ts_update) // 2) if use_mid_ts
+        else state.ts_create
+    )
+    ts_diff = jnp.abs(ts_used - cur_ts).astype(jnp.float32)
+    winner = voxel_down_sample_min_value_mask(
+        state.positions, row_valid, resolution, ts_diff
+    )
+    if merge:
+        state = _compact(state, winner & row_valid)
+        row_valid = jnp.arange(C + 1) < state.count
+        winner = row_valid
+
+    B = state.table_size
+    grid = hash3d.grid_coords(state.positions, resolution)
+    h = hash3d.hash_grid(grid, B)
+    h = jnp.where(winner & row_valid, h, B)
+    table = jnp.full_like(state.table, -1)
+    table = table.at[h].set(jnp.arange(C + 1, dtype=jnp.int32))
+    table = table.at[B].set(-1)
+    return state.replace(table=table)
+
+
+def deform_map(
+    state: MapState,
+    pose_diff: jnp.ndarray,  # [T, 4, 4] f32 per-frame correction transforms
+    *,
+    use_mid_ts: bool,
+) -> MapState:
+    """Elastic PGO deformation: move each neural point by the pose correction
+    of its (mid-)timestamp (reference: adjust_map,
+    model/neural_points.py:791-817). Caller must rehash afterwards and set
+    the after-PGO query flag."""
+    T = pose_diff.shape[0]
+    ts = (
+        ((state.ts_create + state.ts_update) // 2) if use_mid_ts
+        else state.ts_create
+    )
+    ts = jnp.clip(ts, 0, T - 1)
+    per_point = pose_diff[ts]
+    positions = transform_points_batch(state.positions, per_point)
+    dq = rotmat_to_quat(pose_diff[:, :3, :3])
+    orientations = quat_multiply(dq[ts], state.orientations)
+    return state.replace(positions=positions, orientations=orientations)
+
+
+def grow_capacity(state: MapState, new_capacity: int) -> MapState:
+    """Host-side capacity growth (reallocate + copy); triggers recompiles of
+    consumers, used rarely when `count` nears capacity."""
+    old_c = state.capacity
+    pad = new_capacity - old_c
+
+    def grow(arr, fill=0.0):
+        tail = jnp.full((pad,) + arr.shape[1:], fill, arr.dtype)
+        return jnp.concatenate([arr[:-1], tail, arr[-1:]], axis=0)
+
+    return state.replace(
+        positions=grow(state.positions),
+        orientations=grow(state.orientations),
+        geo_features=grow(state.geo_features),
+        color_features=None if state.color_features is None
+        else grow(state.color_features),
+        ts_create=grow(state.ts_create, 0),
+        ts_update=grow(state.ts_update, 0),
+        certainty=grow(state.certainty),
+    )

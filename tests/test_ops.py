@@ -1,0 +1,132 @@
+"""Unit tests for foundational ops: transforms, voxel downsample, hashing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pin_slam_tpu.ops import hash3d, transforms
+from pin_slam_tpu.ops.voxel import (
+    voxel_down_sample_mask,
+    voxel_down_sample_min_value_mask,
+)
+
+
+class TestTransforms:
+    def test_so3_exp_identity(self):
+        R = transforms.so3_exp(jnp.zeros(3))
+        np.testing.assert_allclose(R, np.eye(3), atol=1e-6)
+
+    def test_so3_exp_known_rotation(self):
+        # 90 deg about z
+        R = transforms.so3_exp(jnp.array([0.0, 0.0, np.pi / 2]))
+        expected = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])
+        np.testing.assert_allclose(R, expected, atol=1e-6)
+
+    def test_so3_exp_orthonormal_batch(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (32, 3))
+        R = transforms.so3_exp(w)
+        eye = jnp.einsum("nij,nkj->nik", R, R)
+        np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (32, 3, 3)),
+                                   atol=1e-5)
+
+    def test_rotation_angle(self):
+        w = jnp.array([0.3, -0.2, 0.1])
+        R = transforms.so3_exp(w)
+        assert abs(float(transforms.rotation_angle(R)) -
+                   float(jnp.linalg.norm(w))) < 1e-5
+
+    def test_quat_rotmat_roundtrip(self):
+        w = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
+        R = transforms.so3_exp(w)
+        q = transforms.rotmat_to_quat(R)
+        v = jax.random.normal(jax.random.PRNGKey(2), (16, 3))
+        rv = jnp.einsum("nij,nj->ni", R, v)
+        qv = transforms.quat_rotate(q, v)
+        np.testing.assert_allclose(rv, qv, atol=1e-4)
+
+    def test_quat_multiply_matches_matrix_product(self):
+        wa = jnp.array([0.2, 0.1, -0.4])
+        wb = jnp.array([-0.1, 0.5, 0.3])
+        Ra, Rb = transforms.so3_exp(wa), transforms.so3_exp(wb)
+        qa = transforms.rotmat_to_quat(Ra)
+        qb = transforms.rotmat_to_quat(Rb)
+        qab = transforms.quat_multiply(qa, qb)
+        v = jnp.array([1.0, -2.0, 0.5])
+        np.testing.assert_allclose(
+            transforms.quat_rotate(qab, v), Ra @ (Rb @ v), atol=1e-5)
+
+    def test_transform_points(self):
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(transforms.so3_exp(jnp.array([0.1, 0.2, 0.3])))
+        T[:3, 3] = [1.0, 2.0, 3.0]
+        pts = np.random.RandomState(0).randn(10, 3).astype(np.float32)
+        got = transforms.transform_points(jnp.asarray(pts), jnp.asarray(T))
+        want = pts @ T[:3, :3].T + T[:3, 3]
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_np_slerp_endpoints(self):
+        R = np.asarray(transforms.so3_exp(jnp.array([0.0, 0.0, 0.6])),
+                       dtype=np.float64)
+        out = transforms.np_slerp_rotmats(R, np.array([0.0, 1.0]))
+        np.testing.assert_allclose(out[0], np.eye(3), atol=1e-9)
+        np.testing.assert_allclose(out[1], R, atol=1e-7)
+
+
+class TestVoxelDownsample:
+    def test_one_point_per_voxel(self):
+        rng = np.random.RandomState(42)
+        pts = rng.uniform(-5, 5, (2000, 3)).astype(np.float32)
+        mask = jnp.ones(2000, dtype=bool)
+        keep = voxel_down_sample_mask(jnp.asarray(pts), mask, 0.5)
+        kept = pts[np.asarray(keep)]
+        vox = np.floor(kept / 0.5).astype(int)
+        uniq = np.unique(vox, axis=0)
+        assert uniq.shape[0] == kept.shape[0]  # exactly one per voxel
+        # every occupied voxel is represented
+        all_vox = np.unique(np.floor(pts / 0.5).astype(int), axis=0)
+        assert uniq.shape[0] == all_vox.shape[0]
+
+    def test_closest_to_center_wins(self):
+        pts = jnp.array([[0.45, 0.45, 0.45], [0.26, 0.26, 0.26],
+                         [0.05, 0.05, 0.05]])
+        keep = voxel_down_sample_mask(pts, jnp.ones(3, bool), 1.0)
+        # voxel center is (0.5,0.5,0.5): first point is closest
+        assert np.asarray(keep).tolist() == [True, False, False]
+
+    def test_mask_respected(self):
+        pts = jnp.array([[0.45, 0.45, 0.45], [0.4, 0.4, 0.4]])
+        keep = voxel_down_sample_mask(pts, jnp.array([False, True]), 1.0)
+        assert np.asarray(keep).tolist() == [False, True]
+
+    def test_min_value_selection(self):
+        pts = jnp.array([[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [3.0, 3.0, 3.0]])
+        val = jnp.array([5.0, 1.0, 2.0])
+        keep = voxel_down_sample_min_value_mask(pts, jnp.ones(3, bool), 1.0, val)
+        assert np.asarray(keep).tolist() == [False, True, True]
+
+    def test_negative_coords(self):
+        pts = jnp.array([[-0.9, -0.9, -0.9], [-0.1, -0.1, -0.1]])
+        keep = voxel_down_sample_mask(pts, jnp.ones(2, bool), 1.0)
+        assert int(np.sum(np.asarray(keep))) == 1
+
+
+class TestHash:
+    def test_hash_range(self):
+        g = jnp.array([[0, 0, 0], [-5, 3, 100], [1000, -1000, 7]], jnp.int32)
+        h = hash3d.hash_grid(g, 1 << 16)
+        assert np.all(np.asarray(h) >= 0)
+        assert np.all(np.asarray(h) < (1 << 16))
+
+    def test_hash_deterministic(self):
+        g = jnp.array([[1, 2, 3]], jnp.int32)
+        assert int(hash3d.hash_grid(g, 1024)[0]) == int(
+            hash3d.hash_grid(g, 1024)[0])
+
+    def test_neighbor_offsets_count(self):
+        # reference comment: cells=2, alpha=0.5 -> K=81; alpha=0.2 -> K=33
+        # (reference: model/neural_points.py:939-943)
+        assert hash3d.neighbor_offsets(2, 0.5).shape[0] == 81
+        assert hash3d.neighbor_offsets(2, 0.2).shape[0] == 33
+        assert hash3d.neighbor_offsets(2, 1.0).shape[0] == 93
+        assert hash3d.neighbor_offsets(3, 0.2).shape[0] == 147

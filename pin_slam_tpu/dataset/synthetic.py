@@ -1,0 +1,177 @@
+"""Synthetic LiDAR sequences from analytic SDF scenes (host-side NumPy).
+
+The reference's quality assurance is an end-to-end KITTI subset run
+(reference: scripts/download_kitti_example.sh, SURVEY §4). This environment
+has no network access, so the test/bench pyramid here ray-casts analytic
+scenes instead: ground-truth poses and ground-truth SDF are known exactly,
+which enables odometry ATE assertions and SDF/mesh accuracy assertions
+without any data download.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List
+
+import numpy as np
+
+
+# ----------------------------------------------------------------- scene SDFs
+
+
+def sdf_box_interior(half_extent: np.ndarray):
+    """Signed distance of the *interior* of an axis-aligned room centered at
+    origin: positive inside (free), zero at walls, negative outside."""
+
+    he = np.asarray(half_extent, np.float64)
+
+    def f(p: np.ndarray) -> np.ndarray:
+        q = he - np.abs(p)  # distance to each wall pair, positive inside
+        return np.min(q, axis=-1)
+
+    return f
+
+
+def sdf_sphere(center: np.ndarray, radius: float):
+    c = np.asarray(center, np.float64)
+
+    def f(p: np.ndarray) -> np.ndarray:
+        return np.linalg.norm(p - c, axis=-1) - radius
+
+    return f
+
+
+def sdf_cylinder_z(center_xy: np.ndarray, radius: float):
+    c = np.asarray(center_xy, np.float64)
+
+    def f(p: np.ndarray) -> np.ndarray:
+        return np.linalg.norm(p[..., :2] - c, axis=-1) - radius
+
+    return f
+
+
+def scene_union(free_space: Callable, obstacles: List[Callable]):
+    """SDF of free space: room interior minus obstacles (distance to the
+    nearest surface; positive in free space)."""
+
+    def f(p: np.ndarray) -> np.ndarray:
+        d = free_space(p)
+        for ob in obstacles:
+            d = np.minimum(d, ob(p))
+        return d
+
+    return f
+
+
+def default_scene(half_extent=(20.0, 14.0, 4.0)):
+    """A room with a few pillars and spheres — enough geometry to constrain
+    all 6 DoF during registration."""
+    obstacles = [
+        sdf_cylinder_z([6.0, 3.0], 1.2),
+        sdf_cylinder_z([-5.0, -4.0], 1.6),
+        sdf_cylinder_z([-9.0, 6.0], 1.0),
+        sdf_sphere([3.0, -6.0, 0.5], 2.0),
+        sdf_sphere([10.0, 7.0, -0.5], 1.5),
+        sdf_sphere([-12.0, -8.0, 1.0], 2.5),
+    ]
+    return scene_union(sdf_box_interior(np.array(half_extent)), obstacles)
+
+
+# ------------------------------------------------------------------- raycast
+
+
+def lidar_directions(n_az: int = 256, n_el: int = 16,
+                     el_range=(-20.0, 10.0)) -> np.ndarray:
+    """Spinning-LiDAR ray directions [n_az*n_el, 3] in the sensor frame."""
+    az = np.linspace(0, 2 * np.pi, n_az, endpoint=False)
+    el = np.radians(np.linspace(el_range[0], el_range[1], n_el))
+    azg, elg = np.meshgrid(az, el, indexing="ij")
+    d = np.stack(
+        [np.cos(elg) * np.cos(azg), np.cos(elg) * np.sin(azg), np.sin(elg)],
+        axis=-1,
+    )
+    return d.reshape(-1, 3)
+
+
+def raycast(
+    scene_sdf: Callable,
+    origin: np.ndarray,
+    dirs: np.ndarray,
+    max_range: float = 60.0,
+    iters: int = 96,
+    tol: float = 1e-4,
+) -> np.ndarray:
+    """Sphere-trace depths [N]; np.inf where no hit within max_range."""
+    t = np.zeros(dirs.shape[0])
+    for _ in range(iters):
+        p = origin + t[:, None] * dirs
+        d = scene_sdf(p)
+        t = t + np.maximum(d, 0.0) * 0.95
+        t = np.minimum(t, max_range * 1.01)
+        if np.all((np.abs(d) < tol) | (t >= max_range)):
+            break
+    p = origin + t[:, None] * dirs
+    hit = (np.abs(scene_sdf(p)) < 5e-3) & (t < max_range)
+    depths = np.where(hit, t, np.inf)
+    return depths
+
+
+# ------------------------------------------------------------------ sequence
+
+
+@dataclass
+class SyntheticSequence:
+    """A ray-cast LiDAR sequence with ground-truth poses."""
+
+    scene_sdf: Callable
+    poses: np.ndarray          # [T, 4, 4] float64, sensor->world
+    dirs: np.ndarray           # [N, 3] sensor-frame ray dirs
+    max_range: float = 60.0
+    noise_std: float = 0.0
+    seed: int = 0
+
+    def __len__(self) -> int:
+        return self.poses.shape[0]
+
+    def frame(self, i: int) -> np.ndarray:
+        """Point cloud [M, 3] in the sensor frame (hits only)."""
+        T = self.poses[i]
+        world_dirs = self.dirs @ T[:3, :3].T
+        depths = raycast(self.scene_sdf, T[:3, 3], world_dirs, self.max_range)
+        hit = np.isfinite(depths)
+        d = depths[hit]
+        if self.noise_std > 0:
+            rng = np.random.RandomState(self.seed + i)
+            d = d + rng.randn(d.shape[0]) * self.noise_std
+        return (self.dirs[hit] * d[:, None]).astype(np.float32)
+
+
+def circle_trajectory(
+    n_frames: int, radius: float = 6.0, height: float = 0.0,
+    yaw_follow: bool = True, revolutions: float = 0.6,
+) -> np.ndarray:
+    """Smooth circular trajectory [T, 4, 4] (float64)."""
+    poses = np.zeros((n_frames, 4, 4))
+    ang = np.linspace(0, 2 * np.pi * revolutions, n_frames)
+    for i, a in enumerate(ang):
+        T = np.eye(4)
+        T[:3, 3] = [radius * np.cos(a), radius * np.sin(a), height]
+        if yaw_follow:
+            yaw = a + np.pi / 2
+            c, s = np.cos(yaw), np.sin(yaw)
+            T[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+        poses[i] = T
+    return poses
+
+
+def make_default_sequence(
+    n_frames: int = 20, n_az: int = 256, n_el: int = 16,
+    noise_std: float = 0.0, radius: float = 6.0, max_range: float = 60.0,
+) -> SyntheticSequence:
+    return SyntheticSequence(
+        scene_sdf=default_scene(),
+        poses=circle_trajectory(n_frames, radius=radius),
+        dirs=lidar_directions(n_az, n_el),
+        max_range=max_range,
+        noise_std=noise_std,
+    )

@@ -1,0 +1,233 @@
+"""Unified map query + decode path.
+
+This is the single hot primitive shared by tracking, online mapping and
+meshing (reference: NeuralPoints.query_feature model/neural_points.py:530-746
++ Decoder heads model/decoder.py:83-114, consumed from utils/tracker.py:227,
+utils/mapper.py:645, utils/mesher.py:40). Everything here is pure and
+jit-compatible; static parameters are python scalars closed over by the
+caller's jitted functions.
+
+Coordinate anchoring: query points may be passed in an *anchored* world frame
+(world minus a float64 host-side anchor) for f32 conditioning; the `anchor`
+argument is added back only where absolute coordinates are required (voxel
+hashing / map-position comparisons).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pin_slam_tpu.models import neural_points as npm
+from pin_slam_tpu.models.decoder import (
+    color_apply,
+    sdf_apply,
+    sem_log_prob_apply,
+    weighted_reduce,
+)
+
+
+class QueryParams(NamedTuple):
+    """Static query configuration (hashable; safe to close over)."""
+
+    offsets: tuple            # neighborhood cell offsets as nested tuples
+    resolution: float
+    nn_k: int
+    max_dist2: float
+    sdf_scale: float
+    weighted_first: bool
+    after_pgo: bool = False   # rotate offsets by point orientations
+    layer_norm_on: bool = False
+
+    @property
+    def offsets_np(self) -> np.ndarray:
+        return np.asarray(self.offsets, np.int32)
+
+
+def make_query_params(config, after_pgo: bool = False) -> QueryParams:
+    from pin_slam_tpu.ops import hash3d
+
+    offs = hash3d.neighbor_offsets(config.num_nei_cells, config.search_alpha)
+    return QueryParams(
+        offsets=tuple(map(tuple, offs.tolist())),
+        resolution=config.voxel_size_m,
+        nn_k=config.query_nn_k,
+        max_dist2=hash3d.max_valid_dist2(config.num_nei_cells, config.voxel_size_m),
+        sdf_scale=config.sdf_scale,
+        weighted_first=config.weighted_first,
+        after_pgo=after_pgo,
+        layer_norm_on=config.layer_norm_on,
+    )
+
+
+class LocalFilter(NamedTuple):
+    """Traced arguments of the query-time local-map masking (replaces the
+    reference's materialized local map, model/neural_points.py:424-513)."""
+
+    travel_dist: jnp.ndarray     # [maxT] f32
+    cur_ts: jnp.ndarray          # scalar i32
+    local_window_dist: float     # python float (static)
+    sensor_pos: Optional[jnp.ndarray] = None  # [3] anchored frame
+    local_map_radius: float = 0.0
+    reboot_ts: int = 0           # traced or python int
+
+
+class QueryOut(NamedTuple):
+    sdf: jnp.ndarray             # [N]
+    sdf_std: Optional[jnp.ndarray]
+    nn_count: jnp.ndarray        # [N]
+    certainty: jnp.ndarray       # [N]
+    neighbors: npm.QueryNeighbors
+    weights: jnp.ndarray         # [N, k]
+    color: Optional[jnp.ndarray]       # [N, Cc]
+    sem_log_prob: Optional[jnp.ndarray]  # [N, S]
+
+
+def _maybe_layer_norm(x, on: bool):
+    if not on:
+        return x
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-5)
+
+
+def query_decode(
+    state: npm.MapState,
+    geo_features: jnp.ndarray,       # [C+1, F] (trainable; may differ from state's)
+    geo_mlp,                         # decoder param pytree
+    qpts: jnp.ndarray,               # [N, 3] anchored world frame
+    qp: QueryParams,
+    *,
+    anchor: Optional[jnp.ndarray] = None,   # [3] f32 world offset of the frame
+    lf: Optional[LocalFilter] = None,
+    color_features: Optional[jnp.ndarray] = None,
+    color_mlp=None,
+    sem_mlp=None,
+    with_std: bool = False,
+    color_channel: int = 0,
+) -> QueryOut:
+    """Query k-NN neural points and decode SDF (and optionally color /
+    semantics) at the query positions. Differentiable w.r.t. qpts,
+    geo_features/color_features, and MLP params."""
+    q_abs = qpts if anchor is None else qpts + anchor
+
+    kwargs = {}
+    if lf is not None:
+        kwargs = dict(
+            time_filter=True,
+            travel_dist=lf.travel_dist,
+            cur_ts=lf.cur_ts,
+            local_window_dist=lf.local_window_dist,
+            reboot_ts=lf.reboot_ts,
+        )
+        if lf.sensor_pos is not None:
+            kwargs.update(
+                radius_filter=True,
+                sensor_pos=(lf.sensor_pos if anchor is None
+                            else lf.sensor_pos + anchor),
+                local_map_radius=lf.local_map_radius,
+            )
+
+    qn = npm.query_neighbors(
+        state, q_abs,
+        offsets=qp.offsets_np, resolution=qp.resolution, nn_k=qp.nn_k,
+        max_dist2=qp.max_dist2, **kwargs,
+    )
+
+    # differentiable distance & offsets computed in the anchored frame
+    pos = state.positions[qn.idx]
+    pos_a = pos if anchor is None else pos - anchor
+    diff = qpts[:, None, :] - pos_a                      # [N, k, 3]
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    dist2 = jnp.where(qn.valid, dist2, npm.BIG_DIST2)
+    qn = qn.replace(dist2=dist2)
+    w = npm.idw_weights(qn)                              # [N, k]
+
+    vec = diff
+    if qp.after_pgo:
+        vec = npm.quat_rotate(state.orientations[qn.idx], vec)
+    vec = jnp.where(qn.valid[..., None], vec, 0.0)
+
+    feats = _maybe_layer_norm(geo_features[qn.idx], qp.layer_norm_on)
+    geo_vec = jnp.concatenate([feats, vec], axis=-1)     # [N, k, F+3]
+
+    cert = jnp.where(qn.valid, state.certainty[qn.idx], 0.0)
+    certainty = jnp.sum(cert * w, axis=1)
+
+    color = None
+    sem_log_prob = None
+    if qp.weighted_first:
+        fused = jnp.sum(geo_vec * w[..., None], axis=1)  # [N, F+3]
+        sdf = sdf_apply(geo_mlp, fused, qp.sdf_scale)
+        std = jnp.zeros_like(sdf) if with_std else None
+        if sem_mlp is not None:
+            sem_log_prob = sem_log_prob_apply(sem_mlp, fused)
+        if color_mlp is not None and color_features is not None:
+            cfeats = _maybe_layer_norm(color_features[qn.idx], qp.layer_norm_on)
+            cfused = jnp.sum(
+                jnp.concatenate([cfeats, vec], axis=-1) * w[..., None], axis=1)
+            color = color_apply(color_mlp, cfused)[:, :max(color_channel, 1)]
+    else:
+        per = sdf_apply(geo_mlp, geo_vec, qp.sdf_scale)  # [N, k]
+        sdf, std = weighted_reduce(per, w, with_std=with_std)
+        if sem_mlp is not None:
+            per_sem = sem_log_prob_apply(sem_mlp, geo_vec)
+            sem_log_prob, _ = weighted_reduce(per_sem, w)
+        if color_mlp is not None and color_features is not None:
+            cfeats = _maybe_layer_norm(color_features[qn.idx], qp.layer_norm_on)
+            per_col = color_apply(color_mlp, jnp.concatenate([cfeats, vec], -1))
+            color, _ = weighted_reduce(per_col, w)
+            color = color[:, :max(color_channel, 1)]
+
+    return QueryOut(
+        sdf=sdf, sdf_std=std, nn_count=qn.nn_count, certainty=certainty,
+        neighbors=qn, weights=w, color=color, sem_log_prob=sem_log_prob,
+    )
+
+
+def query_sdf_and_grad(
+    state: npm.MapState,
+    geo_features: jnp.ndarray,
+    geo_mlp,
+    qpts: jnp.ndarray,
+    qp: QueryParams,
+    **kwargs,
+):
+    """SDF + analytical spatial gradient at qpts (used by tracking; the
+    reference uses torch autograd, utils/tools.py:247-260). Returns
+    (sdf, grad [N,3], aux QueryOut)."""
+
+    def f(pts):
+        out = query_decode(state, geo_features, geo_mlp, pts, qp, **kwargs)
+        return jnp.sum(out.sdf), out
+
+    grad, out = jax.grad(f, has_aux=True)(qpts)
+    return out.sdf, grad, out
+
+
+def query_sdf_numerical_grad(
+    state: npm.MapState,
+    geo_features: jnp.ndarray,
+    geo_mlp,
+    qpts: jnp.ndarray,          # [M, 3] (already decimated)
+    eps: float,
+    qp: QueryParams,
+    **kwargs,
+):
+    """Two-sided numerical SDF gradient (reference:
+    utils/mapper.py:986-1036). Differentiable w.r.t. features/params so it
+    can drive the eikonal loss. Returns grad [M, 3]."""
+    m = qpts.shape[0]
+    shifts = jnp.array(
+        [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],
+         [0, -eps, 0], [0, 0, eps], [0, 0, -eps]], qpts.dtype)
+    pts6 = (qpts[None, :, :] + shifts[:, None, :]).reshape(-1, 3)
+    out = query_decode(state, geo_features, geo_mlp, pts6, qp, **kwargs)
+    s = out.sdf.reshape(6, m)
+    gx = (s[0] - s[1]) / (2 * eps)
+    gy = (s[2] - s[3]) / (2 * eps)
+    gz = (s[4] - s[5]) / (2 * eps)
+    return jnp.stack([gx, gy, gz], axis=-1)

@@ -1,0 +1,359 @@
+"""Online mapping: replay data pool + per-frame training of the neural map.
+
+Rebuilds the reference `Mapper` (reference: utils/mapper.py:33-1036) with
+static shapes:
+
+* the replay pool is a fixed-capacity ring of sample arrays; appends are
+  masked scatters at a running offset (reference concat :275-293),
+* window/capacity filtering is compaction by prefix sums with random
+  eviction above capacity (reference :316-360),
+* new-sample detection queries the map certainty with a 1-cell neighborhood
+  (reference :373-438 + set_search_neighborhood(1, 0.0) :388-402),
+* each mapping iteration draws `bs` samples (history + fresh mix,
+  reference get_batch :452-503), queries+decodes, computes BCE-SDF +
+  eikonal (+sem/color) losses and takes one Adam step over the *full*
+  feature array + decoder params; a fresh optimizer per frame reproduces the
+  reference's per-frame optimizer reset (reference mapping() :600-844 creates
+  a new Adam each call). Zero-gradient feature rows are untouched by Adam,
+  which makes the full-array update equivalent to the reference's
+  local-param update.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from pin_slam_tpu.models import losses as L
+from pin_slam_tpu.models import neural_points as npm
+from pin_slam_tpu.slam import map_query as mq
+
+
+@struct.dataclass
+class PoolState:
+    """Replay pool; row `capacity` is the dump row."""
+
+    coord: jnp.ndarray        # [P+1, 3] world-frame sample coords
+    sdf_label: jnp.ndarray    # [P+1]
+    weight: jnp.ndarray       # [P+1] signed weight
+    ts: jnp.ndarray           # [P+1] i32 frame id
+    sem_label: Optional[jnp.ndarray]    # [P+1] i32
+    color_label: Optional[jnp.ndarray]  # [P+1, Cc]
+    count: jnp.ndarray        # [] i32
+    # indices (into the pool) of the current frame's "new" samples
+    new_idx: jnp.ndarray      # [NEW_CAP] i32
+    new_count: jnp.ndarray    # [] i32
+
+    @property
+    def capacity(self) -> int:
+        return self.coord.shape[0] - 1
+
+
+def init_pool(
+    capacity: int, new_cap: int, semantic_on: bool, color_channel: int
+) -> PoolState:
+    p1 = capacity + 1
+    return PoolState(
+        coord=jnp.zeros((p1, 3), jnp.float32),
+        sdf_label=jnp.zeros((p1,), jnp.float32),
+        weight=jnp.zeros((p1,), jnp.float32),
+        ts=jnp.zeros((p1,), jnp.int32),
+        sem_label=jnp.zeros((p1,), jnp.int32) if semantic_on else None,
+        color_label=(jnp.zeros((p1, color_channel), jnp.float32)
+                     if color_channel > 0 else None),
+        count=jnp.zeros((), jnp.int32),
+        new_idx=jnp.zeros((new_cap + 1,), jnp.int32),  # last row = dump
+        new_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def append_samples(
+    pool: PoolState,
+    coord: jnp.ndarray,       # [S, 3] world frame
+    sdf_label: jnp.ndarray,
+    weight: jnp.ndarray,
+    mask: jnp.ndarray,        # [S]
+    cur_ts,
+    sem_label: Optional[jnp.ndarray] = None,
+    color_label: Optional[jnp.ndarray] = None,
+) -> PoolState:
+    """Masked append at the running offset (reference: utils/mapper.py:275-293).
+    Overflowing samples are dropped (the window filter keeps the pool below
+    capacity in steady state)."""
+    P = pool.capacity
+    order = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slots = pool.count + order
+    ok = mask & (slots < P)
+    dest = jnp.where(ok, slots, P).astype(jnp.int32)
+    tsv = jnp.broadcast_to(jnp.int32(cur_ts), dest.shape)
+    return pool.replace(
+        coord=pool.coord.at[dest].set(coord),
+        sdf_label=pool.sdf_label.at[dest].set(sdf_label),
+        weight=pool.weight.at[dest].set(weight),
+        ts=pool.ts.at[dest].set(tsv),
+        sem_label=(pool.sem_label if sem_label is None or pool.sem_label is None
+                   else pool.sem_label.at[dest].set(sem_label)),
+        color_label=(pool.color_label
+                     if color_label is None or pool.color_label is None
+                     else pool.color_label.at[dest].set(color_label)),
+        count=pool.count + jnp.sum(ok.astype(jnp.int32)),
+    )
+
+
+def filter_pool(
+    pool: PoolState,
+    origin: jnp.ndarray,     # [3] current sensor position, world frame
+    window_radius: float,
+    key: jax.Array,
+) -> PoolState:
+    """Keep samples within the window radius; random-evict above capacity
+    (reference: utils/mapper.py:316-360)."""
+    P = pool.capacity
+    row_valid = jnp.arange(P + 1) < pool.count
+    d2 = jnp.sum((pool.coord - origin) ** 2, axis=-1)
+    keep = row_valid & (d2 < window_radius * window_radius)
+    kept = jnp.sum(keep.astype(jnp.int32))
+    # random eviction to capacity (approximate: iid thinning)
+    p_keep = jnp.minimum(1.0, P / jnp.maximum(kept.astype(jnp.float32), 1.0))
+    rand = jax.random.uniform(key, keep.shape)
+    keep = keep & (rand < p_keep)
+
+    keep_r = keep[:-1]
+    order = jnp.cumsum(keep_r.astype(jnp.int32)) - 1
+    ok = keep_r & (order < P)
+    dest = jnp.where(ok, order, P).astype(jnp.int32)
+
+    def compact(arr):
+        return jnp.zeros_like(arr).at[dest].set(arr[:-1])
+
+    return pool.replace(
+        coord=compact(pool.coord),
+        sdf_label=compact(pool.sdf_label),
+        weight=compact(pool.weight),
+        ts=compact(pool.ts),
+        sem_label=None if pool.sem_label is None else compact(pool.sem_label),
+        color_label=(None if pool.color_label is None
+                     else compact(pool.color_label)),
+        count=jnp.sum(ok.astype(jnp.int32)),
+        new_count=jnp.zeros((), jnp.int32),  # indices invalidated
+    )
+
+
+def detect_new_samples(
+    state: npm.MapState,
+    pool: PoolState,
+    frame_coord: jnp.ndarray,   # [S, 3] world coords of this frame's samples
+    frame_sdf: jnp.ndarray,     # [S]
+    frame_mask: jnp.ndarray,    # [S]
+    frame_start: jnp.ndarray,   # scalar i32: pool index of this frame's row 0
+    *,
+    resolution: float,
+    new_certainty_thre: float,
+    surface_sample_range_m: float,
+) -> PoolState:
+    """Mark this frame's low-certainty near-surface samples as "new"
+    (reference: utils/mapper.py:373-438; the certainty probe uses only the
+    center voxel, reference :388-402)."""
+    C = state.capacity
+    B = state.table_size
+    from pin_slam_tpu.ops import hash3d
+
+    grid = hash3d.grid_coords(frame_coord, resolution)
+    h = hash3d.hash_grid(grid, B)
+    idx = state.table[jnp.where(frame_mask, h, B)]
+    valid = idx >= 0
+    idx_c = jnp.where(valid, idx, C)
+    d2 = jnp.sum((state.positions[idx_c] - frame_coord) ** 2, axis=-1)
+    valid = valid & (d2 <= hash3d.max_valid_dist2(1, resolution))
+    cert = jnp.where(valid, state.certainty[idx_c], 0.0)
+
+    is_new = (
+        frame_mask
+        & (cert < new_certainty_thre)
+        & (jnp.abs(frame_sdf) < surface_sample_range_m * 3.0)
+    )
+    new_cap = pool.new_idx.shape[0] - 1
+    order = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    ok = is_new & (order < new_cap)
+    dest = jnp.where(ok, order, new_cap).astype(jnp.int32)
+    # positions of these samples inside the pool
+    pool_pos = frame_start + jnp.arange(frame_coord.shape[0], dtype=jnp.int32)
+    new_idx = jnp.zeros_like(pool.new_idx).at[dest].set(
+        jnp.where(ok, pool_pos, 0))
+    return pool.replace(
+        new_idx=new_idx, new_count=jnp.sum(ok.astype(jnp.int32)))
+
+
+class BatchIdx(NamedTuple):
+    idx: jnp.ndarray    # [bs] pool indices
+    mask: jnp.ndarray   # [bs]
+
+
+def draw_batch_indices(
+    key: jax.Array,
+    pool: PoolState,
+    bs: int,
+    bs_new: int,
+    use_new: jnp.ndarray,   # scalar bool (lose_track/stop disables new mix)
+) -> BatchIdx:
+    """History + new-sample batch mix (reference: utils/mapper.py:452-480)."""
+    k1, k2 = jax.random.split(key)
+    cnt = jnp.maximum(pool.count, 1)
+    hist = jax.random.randint(k1, (bs,), 0, cnt)
+    if bs_new > 0:
+        ncnt = jnp.maximum(pool.new_count, 1)
+        sel = jax.random.randint(k2, (bs_new,), 0, ncnt)
+        new = pool.new_idx[sel]
+        take_new = use_new & (pool.new_count > 0)
+        tail = jnp.where(take_new, new, hist[:bs_new])
+        idx = jnp.concatenate([hist[: bs - bs_new], tail])
+    else:
+        idx = hist
+    return BatchIdx(idx=idx, mask=idx < pool.count)
+
+
+def mapping_loss(
+    params: dict,
+    state: npm.MapState,
+    pool: PoolState,
+    bidx: BatchIdx,
+    qp: mq.QueryParams,
+    lf: mq.LocalFilter,
+    *,
+    sigma_sigmoid_m: float,
+    loss_weight_on: bool,
+    ekional_loss_on: bool,
+    weight_e: float,
+    numerical_grad_eps: float,
+    gradient_decimation: int,
+    surface_sample_range_m: float,
+    main_loss_type: str = "bce",
+    semantic_on: bool = False,
+    weight_s: float = 1.0,
+    freespace_label_on: bool = False,
+    sem_label_decimation: int = 1,
+    color_on: bool = False,
+    weight_i: float = 1.0,
+):
+    """One training batch's loss (reference: utils/mapper.py:623-812).
+
+    params: {'geo_features': [C+1,F], 'geo_mlp': ..., optional 'color_features',
+    'color_mlp', 'sem_mlp'}. Returns (loss, aux) with aux carrying the
+    certainty-update neighbor info.
+    """
+    coord = pool.coord[bidx.idx]
+    sdf_label = pool.sdf_label[bidx.idx]
+    weight = jnp.abs(pool.weight[bidx.idx])
+    ts = pool.ts[bidx.idx]
+    mask = bidx.mask
+
+    out = mq.query_decode(
+        state, params["geo_features"], params["geo_mlp"], coord, qp,
+        lf=lf,
+        color_features=params.get("color_features"),
+        color_mlp=params.get("color_mlp") if color_on else None,
+        sem_mlp=params.get("sem_mlp") if semantic_on else None,
+    )
+
+    if main_loss_type == "bce":
+        sdf_loss = L.sdf_bce_loss(
+            out.sdf, sdf_label, sigma_sigmoid_m, weight, mask,
+            weighted=loss_weight_on)
+    elif main_loss_type == "zhong":
+        sdf_loss = L.sdf_zhong_loss(out.sdf, sdf_label, None, weight, mask,
+                                    weighted=loss_weight_on)
+    elif main_loss_type == "sdf_l1":
+        sdf_loss = L.sdf_diff_loss(out.sdf, sdf_label, weight, mask, l2=False)
+    else:
+        sdf_loss = L.sdf_diff_loss(out.sdf, sdf_label, weight, mask, l2=True)
+    total = sdf_loss
+
+    eik_loss = 0.0
+    if ekional_loss_on and weight_e > 0:
+        dec = coord[::gradient_decimation]
+        g = mq.query_sdf_numerical_grad(
+            state, params["geo_features"], params["geo_mlp"], dec,
+            numerical_grad_eps, qp, lf=lf)
+        eik_loss = L.eikonal_loss(g, mask[::gradient_decimation])
+        total = total + weight_e * eik_loss
+
+    sem_loss = 0.0
+    if semantic_on and out.sem_log_prob is not None:
+        sem_label = pool.sem_label[bidx.idx]
+        labeled = sem_label >= 0 if freespace_label_on else sem_label > 0
+        sem_loss = L.sem_nll_loss(
+            out.sem_log_prob[::sem_label_decimation],
+            sem_label[::sem_label_decimation],
+            (mask & labeled)[::sem_label_decimation])
+        total = total + weight_s * sem_loss
+
+    color_loss = 0.0
+    if color_on and out.color is not None:
+        color_label = pool.color_label[bidx.idx]
+        surface = jnp.abs(sdf_label) < surface_sample_range_m
+        color_loss = L.color_l1_loss(
+            out.color, color_label, weight, mask & surface,
+            weighted=loss_weight_on)
+        total = total + weight_i * color_loss
+
+    aux = {
+        "qn": out.neighbors,
+        "w": out.weights,
+        "ts": ts,
+        "sdf_loss": sdf_loss,
+        "eikonal_loss": eik_loss,
+        "sem_loss": sem_loss,
+        "color_loss": color_loss,
+    }
+    return total, aux
+
+
+def apply_certainty_update(state: npm.MapState, aux) -> npm.MapState:
+    """Reproduce the training-mode certainty/ts side effects
+    (reference: model/neural_points.py:688-705)."""
+    return npm.accumulate_certainty(state, aux["qn"], aux["w"], aux["ts"])
+
+
+def make_train_step(
+    qp: mq.QueryParams,
+    optimizer,
+    *,
+    bs: int,
+    bs_new: int,
+    train_decoder: bool,
+    loss_kwargs: dict,
+):
+    """Build one jitted mapping iteration: batch draw -> loss -> Adam step ->
+    certainty side-effects (reference: utils/mapper.py:623-844; the
+    per-frame optimizer reset happens in the caller by re-initializing
+    opt_state each frame)."""
+
+    frozen = {"geo_mlp", "color_mlp", "sem_mlp"}
+
+    def step(params, opt_state, state, pool, key, lf, use_new):
+        k1, k2 = jax.random.split(key)
+        bidx = draw_batch_indices(k1, pool, bs, bs_new, use_new)
+        (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
+            params, state, pool, bidx, qp, lf, **loss_kwargs)
+        if not train_decoder:
+            grads = {
+                k: (jax.tree.map(jnp.zeros_like, v) if k in frozen else v)
+                for k, v in grads.items()
+            }
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        state = apply_certainty_update(state, aux)
+        metrics = {
+            "loss": loss,
+            "sdf_loss": aux["sdf_loss"],
+            "eikonal_loss": aux["eikonal_loss"],
+            "sem_loss": aux["sem_loss"],
+            "color_loss": aux["color_loss"],
+        }
+        return params, opt_state, state, k2, metrics
+
+    return jax.jit(step)

@@ -1,0 +1,191 @@
+"""Correspondence-free point-to-SDF registration (odometry).
+
+Rebuilds the reference `Tracker` (reference: utils/tracker.py:20-695) as ONE
+jit-compiled `lax.while_loop` — the reference runs a Python loop with a host
+sync per iteration; here the entire Gauss-Newton/LM iteration (transform →
+query SDF + analytical gradient → robust weighting → 6x6 solve → pose
+update → convergence/failure checks) stays on device and only the final pose
+and diagnostics cross to the host once per frame.
+
+Numerics: poses are composed in float32 in a *sensor-anchored* world frame
+(the host subtracts a float64 anchor from the map/pose translation), which
+keeps both the Jacobian cross products `p x grad` and the 6x6 normal system
+well-conditioned without float64 (reference keeps everything float64
+instead, utils/tracker.py:673).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pin_slam_tpu.models import neural_points as npm
+from pin_slam_tpu.slam import map_query as mq
+from pin_slam_tpu.ops.transforms import rotation_angle, so3_exp
+
+
+class TrackerParams(NamedTuple):
+    """Static registration parameters (reference: utils/tracker.py:77-104)."""
+
+    reg_iter_n: int = 50
+    min_grad_norm: float = 0.5
+    max_grad_norm: float = 2.0
+    gm_dist: float = 0.3
+    gm_grad: float = 0.1
+    lm_lambda: float = 1e-4
+    term_thre_deg: float = 0.01
+    term_thre_m: float = 0.001
+    max_sdf_std: float = 0.25          # surface_sample_range_m * max_sdf_std_ratio
+    max_valid_residual_cm: float = 15.0  # surface_range * final_residual_ratio * 100
+    min_valid_ratio: float = 0.2       # 0.15 when loop_reg
+    min_valid_points: int = 30
+    mask_min_nn_count: int = 6         # track_mask_query_nn_k
+    eigenvalue_check: bool = True
+    eigenvalue_ratio_thre: float = 0.005
+    max_increment_residual_ratio: float = 1.1
+    weighted_first: bool = True
+
+
+class TrackResult(NamedTuple):
+    pose: jnp.ndarray          # [4, 4] f32, anchored world frame
+    cov: jnp.ndarray           # [6, 6]
+    valid: jnp.ndarray         # scalar bool
+    residual_cm: jnp.ndarray   # scalar
+    valid_count: jnp.ndarray   # scalar i32
+    iterations: jnp.ndarray    # scalar i32
+    eigenvalues: jnp.ndarray   # [3] translation-part eigenvalues
+    weights: jnp.ndarray       # [S] per-point robust weights (vis/debug)
+    valid_mask: jnp.ndarray    # [S]
+
+
+def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
+    """Returns track(state, geo_features, geo_mlp, src, src_mask, init_T,
+    lf, anchor) -> TrackResult; jit it at the call site (the system wraps it
+    with donation)."""
+
+    def registration_quantities(state, geo_features, geo_mlp, pts, src_mask,
+                                lf, anchor):
+        sdf, grad, out = mq.query_sdf_and_grad(
+            state, geo_features, geo_mlp, pts, qp,
+            anchor=anchor, lf=lf, with_std=not tp.weighted_first)
+        grad_norm = jnp.linalg.norm(grad, axis=-1)
+
+        valid = (
+            src_mask
+            & (out.nn_count >= tp.mask_min_nn_count)
+            & (grad_norm > tp.min_grad_norm)
+            & (grad_norm < tp.max_grad_norm)
+        )
+        if not tp.weighted_first and out.sdf_std is not None:
+            valid = valid & (out.sdf_std < tp.max_sdf_std)
+
+        residual = sdf  # source sdf labels are zero (surface points)
+        grad_anomaly = grad_norm - 1.0
+
+        # Geman-McClure robust weights (reference: utils/tracker.py:469-480)
+        w_grad = (tp.gm_grad / (tp.gm_grad + grad_anomaly**2)) ** 2
+        w_res = (tp.gm_dist / (tp.gm_dist + residual**2)) ** 2
+        w = w_grad * w_res
+        w = jnp.where(valid, w, 0.0)
+        vcount = jnp.sum(valid.astype(jnp.int32))
+        w_mean = jnp.sum(w) / jnp.maximum(vcount.astype(jnp.float32), 1.0)
+        w = w / (2.0 * w_mean + 1e-12)  # (reference :522-524)
+
+        # jacobian J = [p x grad, grad] (reference: utils/tracker.py:652-655)
+        cross = jnp.cross(pts, grad)
+        J = jnp.concatenate([cross, grad], axis=-1)        # [S, 6]
+        Jw = J * w[:, None]
+        H = Jw.T @ J                                       # [6, 6]
+        g = -(Jw.T @ residual)                             # [6]
+
+        res_cm = (
+            jnp.sum(jnp.where(valid, jnp.abs(residual), 0.0))
+            / jnp.maximum(vcount.astype(jnp.float32), 1.0) * 100.0
+        )
+        mse = (
+            jnp.sum(w * residual**2)
+            / jnp.maximum(vcount.astype(jnp.float32), 1.0)
+        )
+        return H, g, res_cm, vcount, mse, w, valid
+
+    def track(state: npm.MapState, geo_features, geo_mlp,
+              src: jnp.ndarray, src_mask: jnp.ndarray,
+              init_T: jnp.ndarray, lf: mq.LocalFilter,
+              anchor: jnp.ndarray, loop_reg=False) -> TrackResult:
+        S = src.shape[0]
+        src_count = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1)
+        min_ratio = 0.15 if loop_reg else tp.min_valid_ratio
+
+        def body(carry):
+            (T, i, last_res, valid_flag, converged, stop,
+             H_keep, res_keep, cnt_keep, mse_keep) = carry
+
+            pts = src @ T[:3, :3].T + T[:3, 3]
+            H, g, res_cm, vcount, mse, _, _ = registration_quantities(
+                state, geo_features, geo_mlp, pts, src_mask, lf, anchor)
+
+            H_lm = H + tp.lm_lambda * jnp.diag(jnp.diag(H))
+            enough = vcount >= 10
+            H_safe = jnp.where(enough, H_lm, jnp.eye(6))
+            delta = jnp.linalg.solve(H_safe, jnp.where(enough, g, 0.0))
+            dR = so3_exp(delta[:3])
+            dT = jnp.eye(4).at[:3, :3].set(dR).at[:3, 3].set(delta[3:])
+            T_new = jnp.where(enough, dT @ T, T)
+
+            # failure: residual blow-up (reference :149-159)
+            inc_fail = (res_cm - last_res) / last_res \
+                > tp.max_increment_residual_ratio
+            last_res = jnp.where(inc_fail, last_res, res_cm)
+            # failure: not enough valid points (reference :161-169)
+            few_fail = (vcount < tp.min_valid_points) | (
+                vcount.astype(jnp.float32) / src_count.astype(jnp.float32)
+                < min_ratio)
+            valid_new = valid_flag & ~inc_fail & ~few_fail
+
+            stop_new = (~valid_new) | converged  # (reference :171-172)
+
+            rot_deg = rotation_angle(dR) * 180.0 / jnp.pi
+            tran_m = jnp.linalg.norm(delta[3:])
+            small = (jnp.abs(rot_deg) < tp.term_thre_deg) & \
+                (tran_m < tp.term_thre_m)
+            converged_new = converged | small | (i == tp.reg_iter_n - 2)
+
+            return (T_new, i + 1, last_res, valid_new, converged_new,
+                    stop_new, H, res_cm, vcount, mse)
+
+        def cond(carry):
+            (_, i, _, _, _, stop, *_rest) = carry
+            return (i < tp.reg_iter_n) & ~stop
+
+        init = (
+            init_T, jnp.int32(0), jnp.float32(1e5),
+            jnp.bool_(True), jnp.bool_(False), jnp.bool_(False),
+            jnp.eye(6), jnp.float32(0.0), jnp.int32(0), jnp.float32(0.0),
+        )
+        (T, iters, _, valid_flag, _, _, H_raw, res_cm, vcount, mse) = \
+            jax.lax.while_loop(cond, body, init)
+
+        # final checks (reference: utils/tracker.py:198-216)
+        valid_flag = valid_flag & (res_cm <= tp.max_valid_residual_cm)
+        eig = jnp.linalg.eigvalsh(H_raw[3:, 3:])
+        if tp.eigenvalue_check:
+            valid_flag = valid_flag & (
+                eig[0] >= vcount.astype(jnp.float32) * tp.eigenvalue_ratio_thre)
+
+        cov = jnp.linalg.inv(
+            H_raw + 1e-9 * jnp.eye(6)) * mse  # (reference :689-693)
+
+        # per-point weights at the final pose (vis / weight_pc output)
+        pts = src @ T[:3, :3].T + T[:3, 3]
+        _, _, _, _, _, w_final, valid_final = registration_quantities(
+            state, geo_features, geo_mlp, pts, src_mask, lf, anchor)
+
+        return TrackResult(
+            pose=T, cov=cov, valid=valid_flag, residual_cm=res_cm,
+            valid_count=vcount, iterations=iters, eigenvalues=eig,
+            weights=w_final, valid_mask=valid_final,
+        )
+
+    return track

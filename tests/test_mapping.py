@@ -1,0 +1,152 @@
+"""Integration tests: online mapping learns a usable SDF.
+
+Mirrors the reference's implicit test strategy (end-to-end behavior, SURVEY
+§4) but on analytic scenes with exact ground truth.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pin_slam_tpu.config import Config
+from pin_slam_tpu.models import neural_points as npm
+from pin_slam_tpu.models.decoder import init_mlp_params
+from pin_slam_tpu.slam import map_query as mq
+from pin_slam_tpu.slam import mapper as mp
+
+
+@pytest.fixture(scope="module")
+def plane_world():
+    """A flat plane z=0 with samples labeled by true SDF (=z)."""
+    cfg = Config()
+    cfg.voxel_size_m = 0.4
+    cfg.finalize()
+    qp = mq.make_query_params(cfg)
+
+    state = npm.init_map_state(1 << 12, 1 << 14, 8, color_on=False)
+    g = np.stack(
+        np.meshgrid(np.arange(-10, 10), np.arange(-10, 10), indexing="ij"), -1
+    ).reshape(-1, 2) * 0.4
+    pts = np.concatenate([g, np.zeros((g.shape[0], 1))], 1).astype(np.float32)
+    td = jnp.zeros(8, jnp.float32)
+    state, _ = npm.insert_points(
+        state, jnp.asarray(pts), jnp.ones(len(pts), bool), 0, td,
+        resolution=0.4, local_window_dist=100.0)
+
+    pool = mp.init_pool(50_000, 1 << 12, False, 0)
+    rng = np.random.RandomState(0)
+    sp = pts[rng.randint(0, len(pts), 4096)] + rng.randn(4096, 3).astype(
+        np.float32) * np.array([0.1, 0.1, 0.3], np.float32)
+    pool = mp.append_samples(
+        pool, jnp.asarray(sp), jnp.asarray(sp[:, 2].copy()),
+        jnp.ones(4096), jnp.ones(4096, bool), 0)
+
+    geo_mlp = init_mlp_params(jax.random.PRNGKey(7), 11, 64, 1, 1)
+    params = {"geo_features": state.geo_features, "geo_mlp": geo_mlp}
+    lf = mq.LocalFilter(travel_dist=td, cur_ts=jnp.int32(0),
+                        local_window_dist=100.0)
+    lk = dict(
+        sigma_sigmoid_m=0.1, loss_weight_on=False, ekional_loss_on=True,
+        weight_e=0.5, numerical_grad_eps=0.08, gradient_decimation=10,
+        surface_sample_range_m=0.25)
+    opt = optax.adam(0.01, eps=1e-15)
+    ostate = opt.init(params)
+    step = mp.make_train_step(qp, opt, bs=1024, bs_new=0,
+                              train_decoder=True, loss_kwargs=lk)
+    key = jax.random.PRNGKey(3)
+    losses = []
+    for _ in range(150):
+        params, ostate, state, key, met = step(
+            params, ostate, state, pool, key, lf, jnp.bool_(False))
+        losses.append(float(met["sdf_loss"]))
+    return dict(cfg=cfg, qp=qp, state=state, params=params, lf=lf,
+                losses=losses)
+
+
+class TestOnlineMapping:
+    def test_loss_decreases(self, plane_world):
+        losses = plane_world["losses"]
+        assert losses[-1] < losses[0] * 0.75
+
+    def test_sdf_accuracy_near_surface(self, plane_world):
+        w = plane_world
+        probe = np.zeros((200, 3), np.float32)
+        probe[:, 0] = np.linspace(-3, 3, 200)
+        probe[:, 1] = 0.7
+        probe[:, 2] = np.linspace(-0.25, 0.25, 200)[
+            np.random.RandomState(2).permutation(200)]
+        out = mq.query_decode(
+            w["state"], w["params"]["geo_features"], w["params"]["geo_mlp"],
+            jnp.asarray(probe), w["qp"], lf=w["lf"])
+        pred = np.asarray(out.sdf)
+        gt = probe[:, 2]
+        v = np.asarray(out.nn_count) >= 6
+        assert v.mean() > 0.9
+        corr = np.corrcoef(pred[v], gt[v])[0, 1]
+        mae = np.abs(pred[v] - gt[v]).mean()
+        assert corr > 0.97, f"corr={corr}"
+        assert mae < 0.03, f"mae={mae}"
+
+    def test_certainty_accumulates(self, plane_world):
+        state = plane_world["state"]
+        cnt = int(state.count)
+        cert = np.asarray(state.certainty[:cnt])
+        assert (cert > 0).mean() > 0.5
+        # dump row must stay clean
+        assert float(state.certainty[-1]) == 0.0
+
+    def test_new_sample_detection(self, plane_world):
+        w = plane_world
+        state = w["state"]
+        pool = mp.init_pool(10_000, 1 << 10, False, 0)
+        # half near the trained plane (old), half far away (new)
+        old_pts = np.zeros((64, 3), np.float32)
+        old_pts[:, 0] = np.linspace(-2, 2, 64)
+        new_pts = old_pts + np.array([100.0, 0, 0], np.float32)
+        coords = jnp.asarray(np.concatenate([old_pts, new_pts]))
+        sdf = jnp.zeros(128)
+        pool = mp.append_samples(pool, coords, sdf, jnp.ones(128),
+                                 jnp.ones(128, bool), 1)
+        pool = mp.detect_new_samples(
+            state, pool, coords, sdf, jnp.ones(128, bool), jnp.int32(0),
+            resolution=0.4, new_certainty_thre=1.0,
+            surface_sample_range_m=0.25)
+        n_new = int(pool.new_count)
+        new_idx = np.asarray(pool.new_idx[:n_new])
+        # all far-away points flagged, most near-plane not
+        assert (new_idx >= 64).sum() == 64
+        assert n_new < 128
+
+
+class TestPoolManagement:
+    def test_append_and_overflow(self):
+        pool = mp.init_pool(100, 16, False, 0)
+        c = jnp.ones((80, 3))
+        pool = mp.append_samples(pool, c, jnp.zeros(80), jnp.ones(80),
+                                 jnp.ones(80, bool), 0)
+        assert int(pool.count) == 80
+        pool = mp.append_samples(pool, c, jnp.zeros(80), jnp.ones(80),
+                                 jnp.ones(80, bool), 1)
+        assert int(pool.count) == 100  # clamped at capacity
+
+    def test_window_filter(self):
+        pool = mp.init_pool(1000, 16, False, 0)
+        near = np.zeros((50, 3), np.float32)
+        far = np.full((50, 3), 100.0, np.float32)
+        pool = mp.append_samples(
+            pool, jnp.asarray(np.concatenate([near, far])), jnp.zeros(100),
+            jnp.ones(100), jnp.ones(100, bool), 0)
+        pool = mp.filter_pool(pool, jnp.zeros(3), 50.0, jax.random.PRNGKey(0))
+        assert int(pool.count) == 50
+        np.testing.assert_allclose(np.asarray(pool.coord[:50]), near)
+
+    def test_capacity_eviction(self):
+        pool = mp.init_pool(64, 16, False, 0)
+        pts = np.random.RandomState(0).randn(64, 3).astype(np.float32)
+        pool = mp.append_samples(pool, jnp.asarray(pts), jnp.zeros(64),
+                                 jnp.ones(64), jnp.ones(64, bool), 0)
+        pool = mp.filter_pool(pool, jnp.zeros(3), 1000.0,
+                              jax.random.PRNGKey(1))
+        assert int(pool.count) <= 64

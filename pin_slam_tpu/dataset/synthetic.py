@@ -64,15 +64,18 @@ def scene_union(free_space: Callable, obstacles: List[Callable]):
 
 
 def default_scene(half_extent=(20.0, 14.0, 4.0)):
-    """A room with a few pillars and spheres — enough geometry to constrain
-    all 6 DoF during registration."""
+    """A room with pillars and spheres — enough geometry to constrain all
+    6 DoF during registration. The xy annulus radius 3..9 is kept free of
+    obstacles so circular test trajectories up to radius ~8 never enter an
+    object."""
     obstacles = [
-        sdf_cylinder_z([6.0, 3.0], 1.2),
-        sdf_cylinder_z([-5.0, -4.0], 1.6),
-        sdf_cylinder_z([-9.0, 6.0], 1.0),
-        sdf_sphere([3.0, -6.0, 0.5], 2.0),
-        sdf_sphere([10.0, 7.0, -0.5], 1.5),
-        sdf_sphere([-12.0, -8.0, 1.0], 2.5),
+        sdf_cylinder_z([0.0, 0.0], 1.5),       # center island
+        sdf_cylinder_z([11.0, 5.0], 1.2),
+        sdf_cylinder_z([-11.0, -6.0], 1.6),
+        sdf_cylinder_z([-12.0, 8.0], 1.0),
+        sdf_sphere([12.0, -8.0, 0.5], 2.0),
+        sdf_sphere([-13.0, 10.0, -0.5], 1.5),
+        sdf_sphere([0.0, 11.0, 1.0], 2.0),
     ]
     return scene_union(sdf_box_interior(np.array(half_extent)), obstacles)
 

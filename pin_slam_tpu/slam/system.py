@@ -1,0 +1,459 @@
+"""PIN-SLAM system orchestrator: the per-frame SLAM loop.
+
+Rebuilds the reference's orchestration (reference: pin_slam.py:236-508 +
+SLAMDataset pose bookkeeping dataset/slam_dataset.py:359-575) around jitted
+device programs:
+
+  I.   preprocess   — range/z crop + train/source voxel downsample (one jit)
+  II.  odometry     — single-jit GN registration (slam/tracker.py)
+  III. loop+PGO     — slam/loop_detector.py + slam/pgo.py (host-orchestrated)
+  IV.  mapping      — sample + map insert + pool append + new-sample detect
+                      (one jit), then `iters` jitted train steps
+  V.   meshing/vis  — slam/mesher.py, on demand
+
+Host keeps float64 pose chains and travel distance; the device works in
+float32 with a per-frame anchor (the current sensor position) where
+conditioning matters.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pin_slam_tpu.config import Config
+from pin_slam_tpu.models import neural_points as npm
+from pin_slam_tpu.models.decoder import init_mlp_params
+from pin_slam_tpu.models.sampler import sample_training_points
+from pin_slam_tpu.ops.transforms import (
+    np_se3_inv,
+    np_rotation_angle_deg,
+    transform_points,
+)
+from pin_slam_tpu.ops.voxel import voxel_down_sample_mask
+from pin_slam_tpu.slam import map_query as mq
+from pin_slam_tpu.slam import mapper as mp
+from pin_slam_tpu.slam import tracker as tk
+
+
+def _pad_points(pts: np.ndarray, cap: int):
+    n = min(pts.shape[0], cap)
+    out = np.zeros((cap, 3), np.float32)
+    out[:n] = pts[:n, :3]
+    return out, n
+
+
+class PinSLAMSystem:
+    """Host-side orchestrator owning all device state and jitted programs."""
+
+    def __init__(self, config: Config, key: Optional[jax.Array] = None):
+        self.config = config
+        self.key = key if key is not None else jax.random.PRNGKey(config.seed)
+
+        c = config
+        self.qp = mq.make_query_params(c)
+        self.after_pgo = False
+
+        # ------------------------------------------------ device state
+        self.state = npm.init_map_state(
+            c.map_capacity, c.buffer_size, c.feature_dim, c.color_on)
+        sample_cap = c.frame_point_cap * c.all_sample_n
+        self.pool = mp.init_pool(
+            c.pool_capacity, sample_cap,
+            c.semantic_on, c.color_channel if c.color_on else 0)
+
+        in_dim = c.feature_dim + c.pos_input_dim
+        k = self.key
+        k, k1, k2, k3 = jax.random.split(k, 4)
+        self.key = k
+        self.params = {
+            "geo_features": self.state.geo_features,
+            "geo_mlp": init_mlp_params(
+                k1, in_dim, c.geo_mlp_hidden_dim, c.geo_mlp_level, 1,
+                c.mlp_bias_on),
+        }
+        if c.color_on:
+            self.params["color_features"] = self.state.color_features
+            self.params["color_mlp"] = init_mlp_params(
+                k2, in_dim, c.color_mlp_hidden_dim, c.color_mlp_level,
+                c.color_channel, c.mlp_bias_on)
+        if c.semantic_on:
+            self.params["sem_mlp"] = init_mlp_params(
+                k3, in_dim, c.sem_mlp_hidden_dim, c.sem_mlp_level,
+                c.sem_class_count, c.mlp_bias_on)
+
+        self.optimizer = optax.adam(c.lr, eps=c.adam_eps)
+        self.opt_state = self.optimizer.init(self.params)
+
+        # ------------------------------------------------ host state
+        self.max_frames = c.max_frames
+        self.odom_poses = np.zeros((self.max_frames, 4, 4))
+        self.pgo_poses = np.zeros((self.max_frames, 4, 4))
+        self.gt_poses: Optional[np.ndarray] = None
+        self.travel_dist = np.zeros(self.max_frames)
+        self.cur_pose_ref = np.eye(4)
+        self.last_pose_ref = np.eye(4)
+        self.last_odom_tran = np.eye(4)
+        self.cur_frame = 0
+        self.lose_track = False
+        self.stop_status = False
+        self.stop_count = 0
+        self.consecutive_lose_track_frame = 0
+        self.reboot_ts = 0
+        self.decoder_freezed = c.decoder_freezed
+        self.last_tracking = None  # TrackResult of the last frame
+        self.timings = []  # per-frame [preprocess, odometry, pgo, map_prep, map_opt]
+        self.loop_edges = []
+        self.new_obs_ratio = 1.0
+        self.adaptive_iter_offset = 0
+
+        self._build_jits()
+
+    # ------------------------------------------------------------------ jits
+
+    def _build_jits(self):
+        c = self.config
+        lwd = c.local_map_radius * c.local_map_travel_dist_ratio
+        self.local_window_dist = lwd
+
+        loss_kwargs = dict(
+            sigma_sigmoid_m=c.sigma_sigmoid_m,
+            loss_weight_on=c.loss_weight_on,
+            ekional_loss_on=c.ekional_loss_on,
+            weight_e=c.weight_e,
+            numerical_grad_eps=c.voxel_size_m * c.num_grad_step_ratio,
+            gradient_decimation=c.gradient_decimation,
+            surface_sample_range_m=c.surface_sample_range_m,
+            main_loss_type=c.main_loss_type,
+            semantic_on=c.semantic_on,
+            weight_s=c.weight_s,
+            freespace_label_on=c.freespace_label_on,
+            sem_label_decimation=c.sem_label_decimation,
+            color_on=c.color_on,
+            weight_i=c.weight_i,
+        )
+        self._train_step = {
+            True: mp.make_train_step(
+                self.qp, self.optimizer, bs=c.bs, bs_new=c.bs_new_sample,
+                train_decoder=True, loss_kwargs=loss_kwargs),
+            False: mp.make_train_step(
+                self.qp, self.optimizer, bs=c.bs, bs_new=c.bs_new_sample,
+                train_decoder=False, loss_kwargs=loss_kwargs),
+        }
+
+        tp = tk.TrackerParams(
+            reg_iter_n=c.reg_iter_n,
+            min_grad_norm=c.reg_min_grad_norm,
+            max_grad_norm=c.reg_max_grad_norm,
+            gm_dist=c.reg_GM_dist_m,
+            gm_grad=c.reg_GM_grad,
+            lm_lambda=c.reg_lm_lambda,
+            term_thre_deg=c.reg_term_thre_deg,
+            term_thre_m=c.reg_term_thre_m,
+            max_sdf_std=c.surface_sample_range_m * c.max_sdf_std_ratio,
+            max_valid_residual_cm=(
+                c.surface_sample_range_m * c.final_residual_ratio_thre * 100.0),
+            min_valid_ratio=0.2,
+            min_valid_points=30,
+            mask_min_nn_count=c.track_mask_query_nn_k,
+            eigenvalue_check=c.eigenvalue_check,
+            eigenvalue_ratio_thre=c.eigenvalue_ratio_thre,
+            weighted_first=c.weighted_first,
+        )
+        self._track = jax.jit(tk.make_tracker(self.qp, tp))
+        self._track_loop = jax.jit(
+            tk.make_tracker(self.qp, tp._replace(min_valid_ratio=0.15)))
+
+        # --- preprocess: crop + train/source downsample, compacted outputs
+        def preprocess(raw, n_valid):
+            cap_r = raw.shape[0]
+            mask = jnp.arange(cap_r) < n_valid
+            d = jnp.linalg.norm(raw, axis=1)
+            mask &= (d > c.min_range) & (d < c.max_range)
+            mask &= (raw[:, 2] > c.min_z) & (raw[:, 2] < c.max_z)
+            train_keep = voxel_down_sample_mask(raw, mask, c.vox_down_m) & mask
+
+            def compact(keep, cap):
+                order = jnp.cumsum(keep.astype(jnp.int32)) - 1
+                ok = keep & (order < cap)
+                dest = jnp.where(ok, order, cap).astype(jnp.int32)
+                out = jnp.zeros((cap + 1, 3), jnp.float32).at[dest].set(raw)
+                cnt = jnp.sum(ok.astype(jnp.int32))
+                return out[:cap], cnt
+
+            train_pts, train_n = compact(train_keep, c.frame_point_cap)
+            src_keep = voxel_down_sample_mask(
+                raw, train_keep, c.source_vox_down_m) & train_keep
+            src_pts, src_n = compact(src_keep, c.source_point_cap)
+            return train_pts, train_n, src_pts, src_n
+
+        self._preprocess = jax.jit(preprocess)
+
+        # --- frame update: sample + map insert + pool append + new detect
+        def frame_update(state, pool, train_pts, train_n, T, cur_ts,
+                         travel_dist, key, force_all_new):
+            mask = jnp.arange(train_pts.shape[0]) < train_n
+            key, ks = jax.random.split(key)
+            smp = sample_training_points(
+                ks, train_pts, mask,
+                surface_sample_range_m=c.surface_sample_range_m,
+                surface_sample_n=c.surface_sample_n,
+                free_front_n=c.free_front_n,
+                free_behind_n=c.free_behind_n,
+                free_sample_begin_ratio=c.free_sample_begin_ratio,
+                free_sample_end_dist_m=c.free_sample_end_dist_m,
+                max_range=c.max_range,
+                dist_weight_on=c.dist_weight_on,
+                dist_weight_scale=c.dist_weight_scale,
+            )
+            world = transform_points(smp.points, T)
+            # neural point update source (reference: utils/mapper.py:239-251)
+            if c.from_sample_points and not c.from_all_samples:
+                upd_mask = smp.mask & (
+                    jnp.abs(smp.sdf_label)
+                    < c.surface_sample_range_m * c.map_surface_ratio)
+                upd_pts = world
+            else:
+                upd_mask = smp.mask
+                upd_pts = world
+            state, new_ratio = npm.insert_points(
+                state, upd_pts, upd_mask, cur_ts, travel_dist,
+                resolution=c.voxel_size_m, local_window_dist=lwd,
+                force_all_new=force_all_new)
+
+            frame_start = pool.count
+            pool = mp.append_samples(
+                pool, world, smp.sdf_label, smp.weight, smp.mask, cur_ts)
+            pool = mp.detect_new_samples(
+                state, pool, world, smp.sdf_label, smp.mask, frame_start,
+                resolution=c.voxel_size_m,
+                new_certainty_thre=c.new_certainty_thre,
+                surface_sample_range_m=c.surface_sample_range_m)
+            new_obs_ratio = (
+                pool.new_count.astype(jnp.float32)
+                / jnp.maximum(jnp.sum(smp.mask.astype(jnp.int32)), 1)
+                .astype(jnp.float32))
+            return state, pool, key, new_ratio, new_obs_ratio
+
+        self._frame_update = jax.jit(frame_update)
+        self._filter_pool = jax.jit(
+            lambda pool, origin, key: mp.filter_pool(
+                pool, origin, c.window_radius, key))
+
+    # -------------------------------------------------------------- helpers
+
+    def _lf(self, cur_ts: int, sensor_pos=None):
+        td = jnp.asarray(self.travel_dist[: self.max_frames], jnp.float32)
+        return mq.LocalFilter(
+            travel_dist=td, cur_ts=jnp.int32(cur_ts),
+            local_window_dist=self.local_window_dist,
+            sensor_pos=None if sensor_pos is None
+            else jnp.asarray(sensor_pos, jnp.float32),
+            local_map_radius=self.config.local_map_radius,
+            reboot_ts=self.reboot_ts)
+
+    def set_gt_poses(self, gt: np.ndarray):
+        self.gt_poses = gt
+
+    # ------------------------------------------------------------ main loop
+
+    def process_frame(self, frame_id: int, points: np.ndarray,
+                      point_ts: Optional[np.ndarray] = None,
+                      gt_pose: Optional[np.ndarray] = None):
+        """Run steps I-IV for one frame. `points` is [N, 3+] float in the
+        sensor frame. Returns the odometry pose estimate (4x4 float64)."""
+        c = self.config
+        t0 = time.time()
+
+        # ---- initial guess (reference: slam_dataset.py:359-389)
+        if frame_id == 0:
+            if self.gt_poses is not None and not c.first_frame_ref:
+                self.cur_pose_ref = self.gt_poses[0]
+            self.odom_poses[0] = self.cur_pose_ref
+            self.pgo_poses[0] = self.cur_pose_ref
+            self.travel_dist[0] = 0.0
+            self.last_pose_ref = self.cur_pose_ref
+            init_guess = self.cur_pose_ref
+        else:
+            if c.uniform_motion_on and not self.lose_track:
+                init_guess = self.last_pose_ref @ self.last_odom_tran
+            else:
+                init_guess = self.last_pose_ref
+            if not c.track_on and self.gt_poses is not None:
+                init_guess = self.gt_poses[frame_id]
+
+        # ---- invalid frame guard (reference: slam_dataset.py:421-428)
+        if points.shape[0] < 10:
+            self.odom_poses[frame_id] = init_guess
+            self.pgo_poses[frame_id] = init_guess
+            self.cur_pose_ref = init_guess
+            self.travel_dist[frame_id] = self.travel_dist[max(frame_id - 1, 0)]
+            self.timings.append([0.0] * 5)
+            self.cur_frame = frame_id + 1
+            return init_guess.copy()
+
+        # ---- I. preprocess
+        raw, n_raw = _pad_points(np.asarray(points, np.float32),
+                                 1 << int(np.ceil(np.log2(max(points.shape[0], 2)))))
+        train_pts, train_n, src_pts, src_n = self._preprocess(
+            jnp.asarray(raw), jnp.int32(n_raw))
+        t1 = time.time()
+
+        # ---- II. odometry
+        if frame_id > 0 and c.track_on:
+            anchor = self.last_pose_ref[:3, 3].copy()
+            T_init = init_guess.copy()
+            T_init[:3, 3] -= anchor
+            lf = self._lf(frame_id - 1,
+                          sensor_pos=self.last_pose_ref[:3, 3] - anchor)
+            res = self._track(
+                self.state, self.params["geo_features"],
+                self.params["geo_mlp"], src_pts,
+                jnp.arange(c.source_point_cap) < src_n,
+                jnp.asarray(T_init, jnp.float32), lf,
+                jnp.asarray(anchor, jnp.float32))
+            self.last_tracking = res
+            valid = bool(res.valid)
+            iters = int(res.iterations)
+            if not valid and iters < 10:
+                cur_pose = init_guess  # keep guess (reference tracker.py:221-223)
+            else:
+                cur_pose = np.asarray(res.pose, np.float64)
+                cur_pose[:3, 3] += anchor
+            self.lose_track = not valid
+            self._update_odom_pose(frame_id, cur_pose)
+        elif frame_id > 0:
+            if self.gt_poses is None:
+                raise ValueError("mapping mode requires gt poses")
+            self._update_odom_pose(frame_id, init_guess)
+        else:
+            self.cur_pose_ref = init_guess
+        t2 = time.time()
+
+        # ---- III. loop closure + PGO: handled by caller (slam/pgo.py)
+        t3 = time.time()
+
+        # ---- reboot check (reference: pin_slam.py:352-363)
+        system_rebooted = False
+        if self.consecutive_lose_track_frame >= c.reboot_frame_thre:
+            self.pool = self.pool.replace(
+                count=jnp.zeros((), jnp.int32),
+                new_count=jnp.zeros((), jnp.int32))
+            self.reboot_ts = frame_id
+            system_rebooted = True
+            self.consecutive_lose_track_frame = 0
+            self.decoder_freezed = False
+
+        # ---- IV. mapping
+        valid_mapping = (not self.lose_track) and (not self.stop_status)
+        did_map = False
+        if frame_id < 5 or valid_mapping or system_rebooted:
+            did_map = True
+            td = jnp.asarray(self.travel_dist[: self.max_frames], jnp.float32)
+            T32 = jnp.asarray(self.cur_pose_ref, jnp.float32)
+            (self.state, self.pool, self.key, new_ratio,
+             new_obs_ratio) = self._frame_update(
+                self.state, self.pool, train_pts, train_n, T32,
+                jnp.int32(frame_id), td, self.key,
+                jnp.bool_(system_rebooted))
+            self.params["geo_features"] = self.state.geo_features
+            if c.color_on:
+                self.params["color_features"] = self.state.color_features
+            self.new_obs_ratio = float(new_obs_ratio)
+
+            # adaptive iteration count (reference: utils/mapper.py:425-438)
+            self.adaptive_iter_offset = 0
+            if c.adaptive_iters:
+                if self.new_obs_ratio < c.new_sample_ratio_less:
+                    self.adaptive_iter_offset = -5
+                elif self.new_obs_ratio > c.new_sample_ratio_more:
+                    self.adaptive_iter_offset = 5
+                    if (frame_id > c.freeze_after_frame
+                            and self.new_obs_ratio > c.new_sample_ratio_restart):
+                        self.adaptive_iter_offset = 10
+
+            # pool filtering (reference: utils/mapper.py:316-360)
+            if (frame_id + 1) % c.pool_filter_freq == 0:
+                self.key, kf = jax.random.split(self.key)
+                self.pool = self._filter_pool(
+                    self.pool,
+                    jnp.asarray(self.cur_pose_ref[:3, 3], jnp.float32), kf)
+        t4 = time.time()
+
+        # ---- training
+        if frame_id % c.mapping_freq_frame == 0 and did_map:
+            cur_iters = (c.iters * c.init_iter_ratio
+                         if (frame_id == 0 or system_rebooted) else c.iters)
+            if self.stop_status:
+                cur_iters = max(1, cur_iters - 10)
+            cur_iters = max(1, cur_iters + self.adaptive_iter_offset)
+
+            if (frame_id - self.reboot_ts) == c.freeze_after_frame:
+                self.decoder_freezed = True
+
+            self.train(cur_iters, frame_id)
+        t5 = time.time()
+
+        self.timings.append([t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4])
+        self.cur_frame = frame_id + 1
+        return self.cur_pose_ref.copy()
+
+    def train(self, iters: int, frame_id: int):
+        """Run `iters` mapping iterations with a fresh optimizer (the
+        reference creates a new Adam per mapping() call, utils/tools.py:153)."""
+        self.opt_state = self.optimizer.init(self.params)
+        lf = self._lf(frame_id)
+        use_new = jnp.bool_(not (self.lose_track or self.stop_status))
+        step = self._train_step[not self.decoder_freezed]
+        params, opt_state, state = self.params, self.opt_state, self.state
+        key = self.key
+        metrics = {}
+        for _ in range(iters):
+            params, opt_state, state, key, metrics = step(
+                params, opt_state, state, self.pool, key, lf, use_new)
+        self.params, self.opt_state, self.state, self.key = (
+            params, opt_state, state, key)
+        # write trained features back to the map (assign_local_to_global
+        # equivalent; reference model/neural_points.py:515-526)
+        self.state = self.state.replace(
+            geo_features=self.params["geo_features"],
+            color_features=self.params.get("color_features",
+                                           self.state.color_features))
+        return metrics
+
+    def _update_odom_pose(self, frame_id: int, cur_pose: np.ndarray):
+        """(reference: dataset/slam_dataset.py:507-569)"""
+        c = self.config
+        self.cur_pose_ref = cur_pose
+        self.last_odom_tran = np_se3_inv(self.last_pose_ref) @ cur_pose
+
+        rot_close = np_rotation_angle_deg(self.last_odom_tran) < 0.057
+        tran_close = np.linalg.norm(
+            self.last_odom_tran[:3, 3]) < c.voxel_size_m * 0.1
+        if rot_close and tran_close:
+            self.stop_count += 1
+        else:
+            self.stop_count = 0
+        self.stop_status = self.stop_count > c.stop_frame_thre
+
+        self.pgo_poses[frame_id] = cur_pose
+        self.odom_poses[frame_id] = (
+            self.odom_poses[frame_id - 1] @ self.last_odom_tran)
+
+        if self.lose_track:
+            self.consecutive_lose_track_frame += 1
+        else:
+            self.consecutive_lose_track_frame = 0
+
+        tran_dist = np.linalg.norm(self.last_odom_tran[:3, 3])
+        if tran_dist > c.surface_sample_range_m * 20.0:
+            self.lose_track = True
+            self.consecutive_lose_track_frame = c.reboot_frame_thre
+
+        self.travel_dist[frame_id] = self.travel_dist[frame_id - 1] + tran_dist
+        self.last_pose_ref = self.cur_pose_ref

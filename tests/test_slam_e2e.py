@@ -1,0 +1,118 @@
+"""End-to-end SLAM smoke test: full odometry+mapping loop on a synthetic
+ray-cast sequence with ATE assertion (the analog of the reference's
+KITTI-00-subset sanity run, reference README.md:163-175 / SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from pin_slam_tpu.config import Config
+from pin_slam_tpu.dataset.synthetic import (
+    SyntheticSequence,
+    circle_trajectory,
+    default_scene,
+    lidar_directions,
+)
+from pin_slam_tpu.slam.system import PinSLAMSystem
+from pin_slam_tpu.utils.eval_traj import absolute_error, get_metrics
+
+
+def small_config() -> Config:
+    cfg = Config()
+    cfg.track_on = True
+    cfg.max_range = 60.0
+    cfg.min_range = 0.5
+    cfg.vox_down_m = 0.08
+    cfg.source_vox_down_m = 0.4
+    cfg.voxel_size_m = 0.3
+    cfg.sigma_sigmoid_m = 0.1
+    cfg.surface_sample_range_m = 0.25
+    cfg.loss_weight_on = True
+    cfg.bs = 4096
+    cfg.iters = 15
+    cfg.init_iter_ratio = 25
+    cfg.bs_new_sample = 1024
+    cfg.reg_iter_n = 50
+    cfg.map_capacity = 1 << 17
+    cfg.buffer_size = 1 << 20
+    cfg.frame_point_cap = 1 << 14
+    cfg.source_point_cap = 1 << 12
+    cfg.max_frames = 64
+    cfg.finalize()
+    cfg.pool_capacity = 1_500_000
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def odometry_run():
+    cfg = small_config()
+    seq = SyntheticSequence(
+        scene_sdf=default_scene(),
+        poses=circle_trajectory(10, radius=6.0, revolutions=0.11),
+        dirs=lidar_directions(512, 32),
+        max_range=60.0,
+    )
+    system = PinSLAMSystem(cfg)
+    system.set_gt_poses(seq.poses)
+    est = []
+    valid_flags = []
+    for fid in range(len(seq)):
+        pose = system.process_frame(fid, seq.frame(fid))
+        est.append(pose)
+        if fid > 0:
+            valid_flags.append(bool(system.last_tracking.valid))
+    return seq, system, np.stack(est), valid_flags
+
+
+class TestEndToEndOdometry:
+    def test_all_frames_tracked(self, odometry_run):
+        _, _, _, valid = odometry_run
+        assert all(valid), f"tracking failures: {valid}"
+
+    def test_ate_within_budget(self, odometry_run):
+        seq, _, est, _ = odometry_run
+        ate, are = absolute_error(seq.poses[: len(est)], est, align_on=False)
+        assert ate < 0.25, f"ATE {ate*100:.1f} cm too large"
+        assert are < 2.0, f"ARE {are:.2f} deg too large"
+
+    def test_map_grows_and_bounded(self, odometry_run):
+        _, system, _, _ = odometry_run
+        cnt = int(system.state.count)
+        assert 5_000 < cnt < system.state.capacity
+
+    def test_travel_dist_monotonic(self, odometry_run):
+        _, system, est, _ = odometry_run
+        td = system.travel_dist[: len(est)]
+        assert np.all(np.diff(td) >= 0)
+        assert td[-1] > 2.0
+
+    def test_metrics_dict(self, odometry_run):
+        seq, _, est, _ = odometry_run
+        m = get_metrics(seq.poses[: len(est)], est)
+        assert "Absoulte Trajectory Error [m]" in m
+
+    def test_invalid_frame_skipped(self):
+        cfg = small_config()
+        system = PinSLAMSystem(cfg)
+        pose = system.process_frame(0, np.zeros((3, 3), np.float32))
+        assert pose.shape == (4, 4)
+        assert system.cur_frame == 1
+
+
+class TestMappingModeGtPoses:
+    def test_mapping_with_gt(self):
+        """track_on=False + gt poses = pure incremental mapping
+        (reference: pin_slam.py:268-272)."""
+        cfg = small_config()
+        cfg.track_on = False
+        seq = SyntheticSequence(
+            scene_sdf=default_scene(),
+            poses=circle_trajectory(3, radius=6.0, revolutions=0.03),
+            dirs=lidar_directions(256, 16),
+            max_range=60.0,
+        )
+        system = PinSLAMSystem(cfg)
+        system.set_gt_poses(seq.poses)
+        for fid in range(len(seq)):
+            pose = system.process_frame(fid, seq.frame(fid))
+            np.testing.assert_allclose(pose, seq.poses[fid], atol=1e-9)
+        assert int(system.state.count) > 1000

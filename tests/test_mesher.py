@@ -1,0 +1,99 @@
+"""Tests for marching tetrahedra and the mesher pipeline."""
+
+import numpy as np
+import pytest
+
+from pin_slam_tpu.ops.marching import filter_small_clusters, marching_tetrahedra
+from pin_slam_tpu.slam.mesher import Mesher, MeshConfig, write_ply
+from pin_slam_tpu.utils.eval_mesh import eval_mesh, sample_mesh_points
+
+
+def _sphere_grid(res=0.1, R=1.0, ext=1.5):
+    g = np.arange(-ext, ext, res)
+    X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+    return np.sqrt(X**2 + Y**2 + Z**2) - R, np.array([-ext] * 3)
+
+
+class TestMarchingTetrahedra:
+    def test_sphere_radius(self):
+        sdf, origin = _sphere_grid()
+        v, f = marching_tetrahedra(sdf, origin=origin, voxel_size=0.1)
+        assert v.shape[0] > 1000
+        r = np.linalg.norm(v, axis=1)
+        assert abs(r.mean() - 1.0) < 0.005
+        assert r.std() < 0.01
+
+    def test_normals_outward(self):
+        sdf, origin = _sphere_grid()
+        v, f = marching_tetrahedra(sdf, origin=origin, voxel_size=0.1)
+        tri = v[f]
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        c = tri.mean(1)
+        assert ((n * c).sum(1) > 0).mean() > 0.99
+
+    def test_watertight_euler(self):
+        sdf, origin = _sphere_grid()
+        v, f = marching_tetrahedra(sdf, origin=origin, voxel_size=0.1)
+        edges = np.sort(
+            np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [0, 2]]]), axis=1)
+        E = np.unique(edges, axis=0).shape[0]
+        assert v.shape[0] - E + f.shape[0] == 2  # sphere topology
+
+    def test_mask(self):
+        sdf, origin = _sphere_grid()
+        mask = np.ones_like(sdf, bool)
+        g = np.arange(-1.5, 1.5, 0.1)
+        X = np.meshgrid(g, g, g, indexing="ij")[0]
+        mask[X > 0] = False
+        v, f = marching_tetrahedra(sdf, mask, origin=origin, voxel_size=0.1)
+        assert v.shape[0] > 0
+        assert v[:, 0].max() < 0.01
+
+    def test_empty_grid(self):
+        sdf = np.ones((8, 8, 8))
+        v, f = marching_tetrahedra(sdf)
+        assert v.shape[0] == 0 and f.shape[0] == 0
+
+    def test_cluster_filter(self):
+        sdf, origin = _sphere_grid()
+        g = np.arange(-1.5, 1.5, 0.1)
+        X, Y, Z = np.meshgrid(g, g, g, indexing="ij")
+        sdf2 = np.minimum(sdf, np.sqrt((X - 1.2)**2 + Y**2 + Z**2) - 0.15)
+        v, f = marching_tetrahedra(sdf2, origin=origin, voxel_size=0.1)
+        f2 = filter_small_clusters(v, f, 300)
+        kept = np.unique(f2)
+        # only the big sphere remains
+        assert np.linalg.norm(v[kept], axis=1).max() < 1.05
+
+
+class TestMeshEval:
+    def test_perfect_mesh_high_fscore(self):
+        sdf, origin = _sphere_grid()
+        v, f = marching_tetrahedra(sdf, origin=origin, voxel_size=0.1)
+        pred = sample_mesh_points(v, f, 20000)
+        rng = np.random.RandomState(0)
+        d = rng.randn(20000, 3)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        m = eval_mesh(pred, d, threshold=0.05)
+        assert m["F-score (%)"] > 99.0
+        assert m["Chamfer_L1 (m)"] < 0.01
+
+    def test_write_ply(self, tmp_path):
+        sdf, origin = _sphere_grid(res=0.25)
+        v, f = marching_tetrahedra(sdf, origin=origin, voxel_size=0.25)
+        p = tmp_path / "m.ply"
+        write_ply(str(p), v, f)
+        head = p.read_text().splitlines()[:3]
+        assert head[0] == "ply"
+
+
+class TestChunking:
+    def test_split_covers_bbox(self):
+        lo = np.array([0.0, 0.0, -2.0])
+        hi = np.array([250.0, 90.0, 10.0])
+        chunks = Mesher.split_chunks(lo, hi, 100.0)
+        assert len(chunks) == 3
+        los = np.array([c[0] for c in chunks])
+        his = np.array([c[1] for c in chunks])
+        assert los.min(0)[0] == 0.0
+        assert his.max(0)[0] == 250.0

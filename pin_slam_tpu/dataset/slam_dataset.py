@@ -1,0 +1,167 @@
+"""Host-side dataset wrapper: frame IO, calibration, deskewing, results.
+
+Rebuilds the reference `SLAMDataset` (reference: dataset/slam_dataset.py:37-988)
+minus the torch/GPU residency — frames stay NumPy on host until the SLAM
+system pads them onto the device. Pose bookkeeping lives in the SLAM system
+(slam/system.py); this class handles files, calibration, timestamps and
+result writing.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from pin_slam_tpu.config import Config
+from pin_slam_tpu.dataset import io as pcio
+from pin_slam_tpu.ops.transforms import np_slerp_rotmats
+from pin_slam_tpu.utils.eval_traj import absolute_error, relative_error
+
+SUPPORTED_EXT = (".bin", ".ply", ".pcd", ".npy")
+
+
+class SLAMDataset:
+    def __init__(self, config: Config):
+        self.config = config
+        self.silence = config.silence
+
+        self.pc_filenames: List[str] = []
+        if config.pc_path:
+            self.pc_filenames = sorted(
+                str(p) for p in Path(config.pc_path).iterdir()
+                if p.suffix in SUPPORTED_EXT)
+            self.pc_filenames = self.pc_filenames[
+                config.begin_frame: config.end_frame: config.step_frame]
+        self.total_pc_count = len(self.pc_filenames)
+
+        # ground truth poses (kitti or tum), moved into the LiDAR frame
+        self.gt_poses: Optional[np.ndarray] = None
+        self.gt_pose_provided = False
+        if config.pose_path:
+            poses = None
+            try:
+                poses = pcio.read_kitti_format_poses(config.pose_path)
+            except Exception:
+                poses = None
+            if poses is None:
+                poses, _ = pcio.read_tum_format_poses(config.pose_path)
+            if poses:
+                if config.calib_path:
+                    calib = pcio.read_kitti_format_calib(config.calib_path)
+                    if "Tr" in calib:
+                        poses = pcio.apply_kitti_format_calib(
+                            poses, calib["Tr"])
+                poses = poses[
+                    config.begin_frame: config.end_frame: config.step_frame]
+                self.gt_poses = np.stack(poses)
+                self.gt_pose_provided = True
+
+    # ------------------------------------------------------------- reading
+
+    def read_frame(self, frame_id: int):
+        """Returns (points [N,3(+c)] f64 sensor frame, point_ts or None)."""
+        filename = self.pc_filenames[frame_id]
+        points, ts = pcio.read_point_cloud(
+            filename, self.config.color_channel)
+        if ts is None and self.config.deskew:
+            ts = pcio.estimate_point_ts(points[:, :3],
+                                        self.config.lidar_type_guess)
+        if self.config.kitti_correction_on:
+            points = intrinsic_correct(points, self.config.correction_deg)
+        return points, ts
+
+    # ------------------------------------------------------------ deskewing
+
+    @staticmethod
+    def deskew(points: np.ndarray, ts: np.ndarray,
+               last_tran: np.ndarray, ts_mid_pose: float = 0.5) -> np.ndarray:
+        """Constant-velocity motion undistortion (reference:
+        utils/tools.py:747-779): rotate/translate each point by the slerped
+        fraction of T_last<-cur around the mid-scan pose."""
+        if ts is None:
+            return points
+        ts = np.asarray(ts, np.float64)
+        rng = ts.max() - ts.min()
+        if rng < 1e-12:
+            return points
+        r = (ts - ts.min()) / rng - ts_mid_pose
+        R = np_slerp_rotmats(last_tran[:3, :3], r)
+        t = r[:, None] * last_tran[:3, 3]
+        out = points.copy()
+        out[:, :3] = np.einsum("nij,nj->ni", R, points[:, :3]) + t
+        return out
+
+    # -------------------------------------------------------------- results
+
+    def write_results(self, run_path: str, odom_poses: np.ndarray,
+                      slam_poses: Optional[np.ndarray] = None,
+                      timings: Optional[np.ndarray] = None) -> dict:
+        """Write trajectories (KITTI + TUM), timing table and the pose
+        evaluation CSV (reference: dataset/slam_dataset.py:681-858).
+        Returns the metric dict (empty without gt)."""
+        os.makedirs(run_path, exist_ok=True)
+        pcio.write_kitti_format_poses(
+            os.path.join(run_path, "odom_poses_kitti.txt"), odom_poses)
+        pcio.write_tum_format_poses(
+            os.path.join(run_path, "odom_poses_tum.txt"), odom_poses)
+        final = slam_poses if slam_poses is not None else odom_poses
+        if slam_poses is not None:
+            pcio.write_kitti_format_poses(
+                os.path.join(run_path, "slam_poses_kitti.txt"), slam_poses)
+            pcio.write_tum_format_poses(
+                os.path.join(run_path, "slam_poses_tum.txt"), slam_poses)
+        if timings is not None:
+            np.save(os.path.join(run_path, "time_table.npy"),
+                    np.asarray(timings))
+
+        metrics = {}
+        if self.gt_pose_provided and self.gt_poses is not None:
+            n = min(final.shape[0], self.gt_poses.shape[0])
+            ate, are = absolute_error(self.gt_poses[:n], final[:n],
+                                      self.config.eval_traj_align)
+            drift_t, drift_r = relative_error(self.gt_poses[:n], final[:n])
+            metrics = {
+                "Average Translation Error [%]": drift_t,
+                "Average Rotational Error [deg/100m]": drift_r * 100.0,
+                "Absoulte Trajectory Error [m]": ate,
+                "Absoulte Rotational Error [deg]": are,
+            }
+            with open(os.path.join(run_path, "pose_eval.csv"), "w",
+                      newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(metrics.keys()))
+                w.writeheader()
+                w.writerow(metrics)
+            if not self.silence:
+                for k, v in metrics.items():
+                    print(f"{k}: {v:.4f}")
+        return metrics
+
+
+def intrinsic_correct(points: np.ndarray, correct_deg: float) -> np.ndarray:
+    """KITTI vertical-angle correction (reference:
+    dataset/slam_dataset.py:1251-1270)."""
+    if correct_deg == 0.0:
+        return points
+    dist = np.linalg.norm(points[:, :3], axis=1)
+    kitti_var_vertical_ang = correct_deg / 180.0 * np.pi
+    v_ang = np.arcsin(np.clip(points[:, 2] / np.maximum(dist, 1e-12), -1, 1))
+    v_ang_c = v_ang + kitti_var_vertical_ang
+    hor_scale = np.cos(v_ang_c) / np.maximum(np.cos(v_ang), 1e-12)
+    out = points.copy()
+    out[:, 0] *= hor_scale
+    out[:, 1] *= hor_scale
+    out[:, 2] = dist * np.sin(v_ang_c)
+    return out
+
+
+def crop_frame_np(points: np.ndarray, min_z, max_z, min_range, max_range):
+    """(reference: dataset/slam_dataset.py:1229-1249) — host-side variant;
+    the device preprocess does the same masking on-device."""
+    d = np.linalg.norm(points[:, :3], axis=1)
+    keep = ((d > min_range) & (d < max_range)
+            & (points[:, 2] > min_z) & (points[:, 2] < max_z))
+    return points[keep]

@@ -63,20 +63,32 @@ def scene_union(free_space: Callable, obstacles: List[Callable]):
     return f
 
 
-def default_scene(half_extent=(20.0, 14.0, 4.0)):
-    """A room with pillars and spheres — enough geometry to constrain all
-    6 DoF during registration. The xy annulus radius 3..9 is kept free of
-    obstacles so circular test trajectories up to radius ~8 never enter an
-    object."""
+def default_scene(half_extent=(20.0, 14.0, 4.0), n_ring_pillars: int = 14,
+                  seed: int = 7):
+    """A room with a rich ring of pillars and spheres — enough geometry to
+    constrain all 6 DoF of a scan registration from anywhere on a circular
+    trajectory (large bare planar walls alone leave the along-wall
+    translation weakly observable, which real LiDAR scenes rarely do).
+    The xy annulus radius 3..9 is kept free of obstacles so circular test
+    trajectories up to radius ~8 never enter an object."""
+    rng = np.random.RandomState(seed)
     obstacles = [
         sdf_cylinder_z([0.0, 0.0], 1.5),       # center island
-        sdf_cylinder_z([11.0, 5.0], 1.2),
-        sdf_cylinder_z([-11.0, -6.0], 1.6),
-        sdf_cylinder_z([-12.0, 8.0], 1.0),
-        sdf_sphere([12.0, -8.0, 0.5], 2.0),
-        sdf_sphere([-13.0, 10.0, -0.5], 1.5),
-        sdf_sphere([0.0, 11.0, 1.0], 2.0),
+        sdf_sphere([0.0, 0.0, 3.0], 2.2),      # cap on the island
     ]
+    # irregular ring of pillars outside the trajectory annulus
+    for i in range(n_ring_pillars):
+        ang = 2 * np.pi * i / n_ring_pillars + rng.uniform(-0.15, 0.15)
+        rad = rng.uniform(10.5, 13.0)
+        cx = np.clip(rad * np.cos(ang), -half_extent[0] + 1.5,
+                     half_extent[0] - 1.5)
+        cy = np.clip(rad * np.sin(ang), -half_extent[1] + 1.5,
+                     half_extent[1] - 1.5)
+        r = rng.uniform(0.5, 1.1)
+        obstacles.append(sdf_cylinder_z([cx, cy], r))
+        if i % 3 == 0:
+            obstacles.append(
+                sdf_sphere([cx, cy, rng.uniform(1.0, 3.0)], r + 0.6))
     return scene_union(sdf_box_interior(np.array(half_extent)), obstacles)
 
 
@@ -152,10 +164,20 @@ class SyntheticSequence:
 def circle_trajectory(
     n_frames: int, radius: float = 6.0, height: float = 0.0,
     yaw_follow: bool = True, revolutions: float = 0.6,
+    ease_in_frames: int = 0,
 ) -> np.ndarray:
-    """Smooth circular trajectory [T, 4, 4] (float64)."""
+    """Smooth circular trajectory [T, 4, 4] (float64). `ease_in_frames`
+    ramps the speed up over the first frames (vehicles don't start at full
+    speed; the tracker's constant-velocity prior needs a warm-up)."""
     poses = np.zeros((n_frames, 4, 4))
-    ang = np.linspace(0, 2 * np.pi * revolutions, n_frames)
+    if ease_in_frames > 0:
+        vel = np.ones(n_frames)
+        ramp = np.linspace(0.0, 1.0, ease_in_frames + 1)[1:]
+        vel[:ease_in_frames] = ramp * ramp * (3 - 2 * ramp)  # smoothstep
+        sdist = np.concatenate([[0.0], np.cumsum(vel[:-1])])
+        ang = 2 * np.pi * revolutions * sdist / sdist[-1]
+    else:
+        ang = np.linspace(0, 2 * np.pi * revolutions, n_frames)
     for i, a in enumerate(ang):
         T = np.eye(4)
         T[:3, 3] = [radius * np.cos(a), radius * np.sin(a), height]

@@ -85,9 +85,9 @@ def weighted_reduce(
         if not with_std:
             return mean, None
         var = jnp.sum(w[..., None] * (per_nn - mean[:, None, :]) ** 2, axis=1)
-        return mean, jnp.sqrt(var)
+        return mean, jnp.sqrt(jnp.maximum(var, 0.0) + 1e-12)
     mean = jnp.sum(per_nn * w, axis=1)
     if not with_std:
         return mean, None
     var = jnp.sum(w * (per_nn - mean[:, None]) ** 2, axis=1)
-    return mean, jnp.sqrt(var)
+    return mean, jnp.sqrt(jnp.maximum(var, 0.0) + 1e-12)

@@ -73,8 +73,13 @@ def sdf_diff_loss(
 
 
 def eikonal_loss(grad: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """(|grad| - 1)^2 (reference: utils/mapper.py:761-780)."""
-    gn = jnp.linalg.norm(grad, axis=-1)
+    """(|grad| - 1)^2 (reference: utils/mapper.py:761-780).
+
+    The norm is epsilon-guarded: queries with zero valid neighbors have an
+    exactly-zero gradient, and the backward pass of sqrt at 0 is NaN — one
+    poisoned row would corrupt every parameter through the shared batch.
+    """
+    gn = jnp.sqrt(jnp.sum(grad * grad, axis=-1) + 1e-12)
     return _masked_mean((gn - 1.0) ** 2, mask)
 
 

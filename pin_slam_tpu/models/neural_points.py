@@ -255,14 +255,12 @@ def query_neighbors(
 
 
 def idw_weights(qn: QueryNeighbors, eps: float = 1e-15) -> jnp.ndarray:
-    """Normalized inverse-distance-squared weights [N, k]
+    """Normalized inverse-distance-squared weights [N, k]; rows without any
+    valid neighbor get all-zero weights
     (reference: model/neural_points.py:665-683)."""
     w = 1.0 / (qn.dist2 + eps)
     w = jnp.where(qn.valid, w, 0.0)
-    empty = qn.nn_count == 0
-    w = jnp.where(empty[:, None], eps, w)
-    w = w / jnp.sum(w, axis=1, keepdims=True)
-    return jnp.where(qn.valid, w, 0.0)
+    return w / (jnp.sum(w, axis=1, keepdims=True) + eps)
 
 
 def gather_feature_vectors(

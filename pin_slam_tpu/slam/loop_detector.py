@@ -1,0 +1,225 @@
+"""Loop closure detection: scan-context / neural-point-map context.
+
+Rebuilds the reference `NeuralPointMapContextManager`
+(reference: utils/loop_detector.py:18-576): polar BEV descriptor of max-z
+per (ring, sector) bin, ring-key retrieval (L1), column-shifted cosine
+distance for yaw estimation, virtual lateral sensor nodes for translation
+invariance, plus the distance-based local loop detector (:443-479).
+
+Host-side NumPy: descriptor shapes are tiny (20x60), retrieval over a few
+thousand frames is microseconds of matmuls — control flow dominates, which
+is exactly what should NOT live inside an XLA program (SURVEY §7.1.5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def ptcloud2sc(ptcloud: np.ndarray, sc_shape, max_length: float) -> np.ndarray:
+    """Polar max-z context [R, S] (reference: utils/loop_detector.py:482-545,
+    deterministic np.maximum.at replacing CUDA scatter amax)."""
+    num_ring, num_sector = sc_shape
+    pts = ptcloud[:, :3]
+    r = np.linalg.norm(pts[:, :2], axis=1)
+    keep = (r < max_length) & np.isfinite(r)
+    pts, r = pts[keep], r[keep]
+    gap_ring = max_length / num_ring
+    gap_sector = 360.0 / num_sector
+    theta = np.degrees(np.arctan2(pts[:, 1], pts[:, 0])) + 180.0
+    idx_ring = np.clip((r // gap_ring).astype(np.int64), 0, num_ring - 1)
+    idx_sector = np.clip((theta // gap_sector).astype(np.int64), 0,
+                         num_sector - 1)
+    sc = np.full(num_ring * num_sector, -1e9)
+    np.maximum.at(sc, idx_ring * num_sector + idx_sector, pts[:, 2])
+    sc[sc < -1e8] = 0.0
+    return sc.reshape(num_ring, num_sector)
+
+
+def sc2rk(sc: np.ndarray) -> np.ndarray:
+    """Ring key = sector mean per ring (reference :548)."""
+    return sc.mean(axis=1)
+
+
+def distance_sc(sc1: np.ndarray, sc2: np.ndarray) -> Tuple[float, int]:
+    """Min cosine distance over all sector shifts of sc1 + best shift
+    (reference: utils/loop_detector.py:553-576), vectorized over shifts."""
+    num_sector = sc1.shape[1]
+    # all shifted copies [S, R, S]
+    shifted = np.stack(
+        [np.roll(sc1, s + 1, axis=1) for s in range(num_sector)])
+    num = (shifted * sc2[None]).sum(axis=1)                 # [S, S] col dots
+    den = (np.linalg.norm(shifted, axis=1)
+           * np.linalg.norm(sc2, axis=0)[None] + 1e-12)
+    cossim = (num / den).mean(axis=1)                       # [S]
+    best = int(np.argmax(cossim))
+    return float(1.0 - cossim[best]), best + 1
+
+
+def detect_local_loop(
+    pgo_poses: np.ndarray,
+    loop_candidate_mask: np.ndarray,
+    cur_drift: float,
+    cur_frame_id: int,
+    loop_reg_failed_count: int = 0,
+    dist_thre: float = 1.0,
+    drift_thre: float = 3.0,
+    silence: bool = True,
+):
+    """(reference: utils/loop_detector.py:443-479)"""
+    if not np.any(loop_candidate_mask):
+        return None, None, None
+    dist_to_past = np.linalg.norm(
+        pgo_poses[:, :3, 3] - pgo_poses[-1, :3, 3], axis=1)
+    masked = np.where(loop_candidate_mask, dist_to_past, np.inf)
+    loop_id = int(np.argmin(masked))
+    min_dist = float(masked[loop_id])
+    if min_dist < dist_thre and cur_drift < drift_thre \
+            and loop_reg_failed_count < 3:
+        loop_transform = np.linalg.inv(pgo_poses[loop_id]) @ pgo_poses[-1]
+        if not silence:
+            print(f"local loop candidate: {cur_frame_id} --- {loop_id} "
+                  f"({min_dist:.2f} m)")
+        return loop_id, min_dist, loop_transform
+    return None, None, None
+
+
+class ScanContextManager:
+    """Descriptor store + retrieval (reference class at
+    utils/loop_detector.py:18-372; feature-context variant tracked for a
+    later round)."""
+
+    def __init__(self, config):
+        self.config = config
+        self.silence = config.silence
+        self.des_shape = tuple(config.context_shape)
+        self.max_length = config.npmc_max_dist
+        self.ringkey_dist_thre = 0.25 * self.max_length
+        self.sc_cosdist_threshold = config.context_cosdist_threshold
+        self.virtual_side_count = config.context_virtual_side_count
+        self.virtual_step_m = config.context_virtual_step_m
+
+        self.contexts: Dict[int, np.ndarray] = {}
+        self.ringkeys: Dict[int, np.ndarray] = {}
+        self.valid_flags: Dict[int, bool] = {}
+        self.curr_node_idx = -1
+        self.query_contexts: List[np.ndarray] = []
+        self.tran_from_frame: List[np.ndarray] = []
+
+    def add_node(self, frame_id: int, ptcloud: np.ndarray,
+                 valid_flag: bool = True):
+        """(reference :59-82) — ptcloud in the (virtual) sensor frame."""
+        sc = ptcloud2sc(ptcloud, self.des_shape, self.max_length)
+        self.curr_node_idx = frame_id
+        self.contexts[frame_id] = sc
+        self.ringkeys[frame_id] = sc2rk(sc)
+        self.valid_flags[frame_id] = valid_flag
+        self.query_contexts = []
+        self.tran_from_frame = []
+
+    def set_virtual_nodes(self, ptcloud_global: np.ndarray,
+                          frame_pose: np.ndarray,
+                          last_frame_pose: Optional[np.ndarray]):
+        """Augment laterally shifted virtual sensor positions
+        (reference :84-155)."""
+        if last_frame_pose is not None:
+            d = frame_pose[:3, 3] - last_frame_pose[:3, 3]
+            n = np.linalg.norm(d)
+            unit = d / n if n > 1e-9 else np.array([1.0, 0, 0])
+            lat = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]]) @ unit
+        else:
+            lat = np.array([0.0, 1.0, 0.0])
+        for k in range(-self.virtual_side_count, self.virtual_side_count + 1):
+            tran = np.eye(4)
+            tran[:3, 3] = lat * (k * self.virtual_step_m)
+            if k == 0:
+                sc = self.contexts[self.curr_node_idx]
+            else:
+                virtual_pose = frame_pose @ np.linalg.inv(tran)
+                local = (ptcloud_global - virtual_pose[:3, 3]) \
+                    @ virtual_pose[:3, :3]
+                sc = ptcloud2sc(local, self.des_shape, self.max_length)
+            self.query_contexts.append(sc)
+            self.tran_from_frame.append(tran)
+
+    def detect_global_loop(
+        self, cur_pgo_poses: np.ndarray, dist_thre: float,
+        loop_candidate_mask: np.ndarray,
+        context_pc_global: Optional[np.ndarray] = None,
+    ):
+        """(reference :158-229). context_pc_global (world frame) enables the
+        virtual-node augmentation; None falls back to the plain context."""
+        cur = self.curr_node_idx
+        dist_to_past = np.linalg.norm(
+            cur_pgo_poses[:, :3, 3] - cur_pgo_poses[cur, :3, 3], axis=1)
+        cand = np.where(loop_candidate_mask & (dist_to_past < dist_thre))[0]
+        cand = np.array([i for i in cand if self.valid_flags.get(i, False)],
+                        np.int64)
+        if cand.shape[0] == 0:
+            return None, None, None
+
+        if context_pc_global is not None:
+            last_pose = cur_pgo_poses[cur - 1] if cur > 0 else None
+            self.set_virtual_nodes(
+                context_pc_global, cur_pgo_poses[cur], last_pose)
+        return self.detect_loop(cand)
+
+    def detect_loop(self, candidate_idx: np.ndarray):
+        """(reference :231-347)"""
+        if candidate_idx.shape[0] == 0:
+            return None, None, None
+        rk_hist = np.stack([self.ringkeys[i] for i in candidate_idx])
+
+        if not self.query_contexts:
+            self.query_contexts = [self.contexts[self.curr_node_idx]]
+            self.tran_from_frame = [np.eye(4)]
+
+        min_dist, min_loop_idx, min_query = 1e5, None, 0
+        for qi, qc in enumerate(self.query_contexts):
+            qrk = sc2rk(qc)
+            d = np.abs(qrk[None] - rk_hist).sum(axis=1)     # L1 ring key
+            j = int(np.argmin(d))
+            if d[j] < min_dist:
+                min_dist = float(d[j])
+                min_loop_idx = int(candidate_idx[j])
+                min_query = qi
+        if min_loop_idx is None or min_dist > self.ringkey_dist_thre:
+            return None, None, None
+
+        cosdist, yaw_diff = distance_sc(
+            self.contexts[min_loop_idx], self.query_contexts[min_query])
+        if cosdist >= self.sc_cosdist_threshold:
+            return None, None, None
+
+        yaw = math.radians(yaw_diff * 360.0 / self.des_shape[1])
+        T = np.eye(4)
+        T[0, 0] = math.cos(yaw)
+        T[0, 1] = math.sin(yaw)
+        T[1, 0] = -math.sin(yaw)
+        T[1, 1] = math.cos(yaw)
+        T = T @ self.tran_from_frame[min_query]             # T_l<-c
+        if not self.silence:
+            print(f"global loop candidate: {self.curr_node_idx} --- "
+                  f"{min_loop_idx} (cosdist {cosdist:.3f})")
+        return min_loop_idx, cosdist, T
+
+    def save_context_dict(self, path: str, poses: np.ndarray):
+        np.savez_compressed(
+            path,
+            idx=np.array(sorted(self.contexts.keys())),
+            contexts=np.stack([self.contexts[k]
+                               for k in sorted(self.contexts)]),
+            ringkeys=np.stack([self.ringkeys[k]
+                               for k in sorted(self.ringkeys)]),
+            poses=poses)
+
+    def load_context_dict(self, path: str) -> np.ndarray:
+        z = np.load(path)
+        for i, k in enumerate(z["idx"]):
+            self.contexts[int(k)] = z["contexts"][i]
+            self.ringkeys[int(k)] = z["ringkeys"][i]
+            self.valid_flags[int(k)] = True
+        return z["poses"]

@@ -357,3 +357,46 @@ def make_train_step(
         return params, opt_state, state, k2, metrics
 
     return jax.jit(step)
+
+
+def make_train_loop(
+    qp: mq.QueryParams,
+    optimizer,
+    *,
+    n_iters: int,
+    bs: int,
+    bs_new: int,
+    train_decoder: bool,
+    loss_kwargs: dict,
+):
+    """Whole per-frame training run (`n_iters` mapping iterations) as ONE
+    jitted lax.scan program — a single device dispatch per frame instead of
+    one per iteration (key for TPU dispatch-latency hiding)."""
+
+    frozen = {"geo_mlp", "color_mlp", "sem_mlp"}
+
+    def one(carry, key):
+        params, opt_state, state, pool, lf, use_new = carry
+        bidx = draw_batch_indices(key, pool, bs, bs_new, use_new)
+        (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
+            params, state, pool, bidx, qp, lf, **loss_kwargs)
+        if not train_decoder:
+            grads = {
+                k: (jax.tree.map(jnp.zeros_like, v) if k in frozen else v)
+                for k, v in grads.items()
+            }
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        state = apply_certainty_update(state, aux)
+        return (params, opt_state, state, pool, lf, use_new), loss
+
+    def loop(params, opt_state, state, pool, key, lf, use_new):
+        keys = jax.random.split(key, n_iters + 1)
+        carry, losses = jax.lax.scan(
+            one, (params, opt_state, state, pool, lf, use_new), keys[1:])
+        params, opt_state, state, _, _, _ = carry
+        return params, opt_state, state, keys[0], losses
+
+    # NOTE: donation deferred to the perf pass — params["geo_features"] can
+    # alias state.geo_features across the call boundary.
+    return jax.jit(loop)

@@ -168,6 +168,8 @@ class PinSLAMSystem:
         self._track = jax.jit(tk.make_tracker(self.qp, tp))
         self._track_loop = jax.jit(
             tk.make_tracker(self.qp, tp._replace(min_valid_ratio=0.15)))
+        self._loss_kwargs = loss_kwargs
+        self._train_loops = {}
 
         # --- preprocess: crop + train/source downsample, compacted outputs
         def preprocess(raw, n_valid):
@@ -247,6 +249,16 @@ class PinSLAMSystem:
 
     # -------------------------------------------------------------- helpers
 
+    def _get_train_loop(self, iters: int, train_decoder: bool):
+        k = (iters, train_decoder)
+        if k not in self._train_loops:
+            c = self.config
+            self._train_loops[k] = mp.make_train_loop(
+                self.qp, self.optimizer, n_iters=iters, bs=c.bs,
+                bs_new=c.bs_new_sample, train_decoder=train_decoder,
+                loss_kwargs=self._loss_kwargs)
+        return self._train_loops[k]
+
     def _lf(self, cur_ts: int, sensor_pos=None):
         td = jnp.asarray(self.travel_dist[: self.max_frames], jnp.float32)
         return mq.LocalFilter(
@@ -262,11 +274,23 @@ class PinSLAMSystem:
 
     # ------------------------------------------------------------ main loop
 
+    def set_after_pgo(self, on: bool):
+        """Enable offset rotation by point orientations after the first map
+        deformation (reference: model/neural_points.py:645-648 gated by
+        after_pgo). Rebuilds the jitted programs once."""
+        if on != self.after_pgo:
+            self.after_pgo = on
+            self.qp = mq.make_query_params(self.config, after_pgo=on)
+            self._build_jits()
+
     def process_frame(self, frame_id: int, points: np.ndarray,
                       point_ts: Optional[np.ndarray] = None,
-                      gt_pose: Optional[np.ndarray] = None):
+                      gt_pose: Optional[np.ndarray] = None,
+                      loop_hook=None):
         """Run steps I-IV for one frame. `points` is [N, 3+] float in the
-        sensor frame. Returns the odometry pose estimate (4x4 float64)."""
+        sensor frame. `loop_hook(frame_id)` runs between odometry and
+        mapping (the reference's loop+PGO slot, pin_slam.py:280-348).
+        Returns the odometry pose estimate (4x4 float64)."""
         c = self.config
         t0 = time.time()
 
@@ -335,7 +359,9 @@ class PinSLAMSystem:
             self.cur_pose_ref = init_guess
         t2 = time.time()
 
-        # ---- III. loop closure + PGO: handled by caller (slam/pgo.py)
+        # ---- III. loop closure + PGO
+        if loop_hook is not None:
+            loop_hook(frame_id)
         t3 = time.time()
 
         # ---- reboot check (reference: pin_slam.py:352-363)
@@ -405,19 +431,17 @@ class PinSLAMSystem:
 
     def train(self, iters: int, frame_id: int):
         """Run `iters` mapping iterations with a fresh optimizer (the
-        reference creates a new Adam per mapping() call, utils/tools.py:153)."""
+        reference creates a new Adam per mapping() call, utils/tools.py:153).
+        The whole run is one jitted lax.scan program, cached per
+        (iters, decoder-frozen) variant."""
         self.opt_state = self.optimizer.init(self.params)
         lf = self._lf(frame_id)
         use_new = jnp.bool_(not (self.lose_track or self.stop_status))
-        step = self._train_step[not self.decoder_freezed]
-        params, opt_state, state = self.params, self.opt_state, self.state
-        key = self.key
-        metrics = {}
-        for _ in range(iters):
-            params, opt_state, state, key, metrics = step(
-                params, opt_state, state, self.pool, key, lf, use_new)
-        self.params, self.opt_state, self.state, self.key = (
-            params, opt_state, state, key)
+        loop = self._get_train_loop(iters, not self.decoder_freezed)
+        (self.params, self.opt_state, self.state, self.key,
+         losses) = loop(self.params, self.opt_state, self.state, self.pool,
+                        self.key, lf, use_new)
+        metrics = {"loss": losses[-1]}
         # write trained features back to the map (assign_local_to_global
         # equivalent; reference model/neural_points.py:515-526)
         self.state = self.state.replace(

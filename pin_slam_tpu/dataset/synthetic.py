@@ -134,9 +134,17 @@ def raycast(
 # ------------------------------------------------------------------ sequence
 
 
+def procedural_color(points_world: np.ndarray) -> np.ndarray:
+    """Smooth position-dependent RGB in [0,1] — exact color ground truth for
+    RGB-D tests."""
+    p = points_world * 0.35
+    return 0.5 + 0.5 * np.stack(
+        [np.sin(p[:, 0]), np.sin(p[:, 1] + 2.0), np.sin(p[:, 2] + 4.0)], -1)
+
+
 @dataclass
 class SyntheticSequence:
-    """A ray-cast LiDAR sequence with ground-truth poses."""
+    """A ray-cast LiDAR/RGB-D sequence with ground-truth poses."""
 
     scene_sdf: Callable
     poses: np.ndarray          # [T, 4, 4] float64, sensor->world
@@ -144,12 +152,13 @@ class SyntheticSequence:
     max_range: float = 60.0
     noise_std: float = 0.0
     seed: int = 0
+    color_fn: Callable = None  # world pts [M,3] -> [M,3] rgb in [0,1]
 
     def __len__(self) -> int:
         return self.poses.shape[0]
 
     def frame(self, i: int) -> np.ndarray:
-        """Point cloud [M, 3] in the sensor frame (hits only)."""
+        """Point cloud [M, 3(+3 rgb)] in the sensor frame (hits only)."""
         T = self.poses[i]
         world_dirs = self.dirs @ T[:3, :3].T
         depths = raycast(self.scene_sdf, T[:3, 3], world_dirs, self.max_range)
@@ -158,7 +167,13 @@ class SyntheticSequence:
         if self.noise_std > 0:
             rng = np.random.RandomState(self.seed + i)
             d = d + rng.randn(d.shape[0]) * self.noise_std
-        return (self.dirs[hit] * d[:, None]).astype(np.float32)
+        local = (self.dirs[hit] * d[:, None]).astype(np.float32)
+        if self.color_fn is not None:
+            world = local @ T[:3, :3].T.astype(np.float32) + \
+                T[:3, 3].astype(np.float32)
+            rgb = self.color_fn(world).astype(np.float32)
+            return np.hstack([local, rgb])
+        return local
 
 
 def circle_trajectory(

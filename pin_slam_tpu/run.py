@@ -123,7 +123,7 @@ def run_pin_slam(
         if loop_mgr is not None:
             pts_now = points
             hook = (lambda fid, _p=pts_now: loop_mgr.after_frame(fid, _p))
-        system.process_frame(frame_id, points[:, :3],
+        system.process_frame(frame_id, points,
                              gt_pose=dataset.gt_poses[frame_id]
                              if dataset.gt_pose_provided else None,
                              loop_hook=hook)

@@ -238,6 +238,7 @@ def mapping_loss(
     sem_label_decimation: int = 1,
     color_on: bool = False,
     weight_i: float = 1.0,
+    color_channel: int = 0,
 ):
     """One training batch's loss (reference: utils/mapper.py:623-812).
 
@@ -257,6 +258,7 @@ def mapping_loss(
         color_features=params.get("color_features"),
         color_mlp=params.get("color_mlp") if color_on else None,
         sem_mlp=params.get("sem_mlp") if semantic_on else None,
+        color_channel=color_channel,
     )
 
     if main_loss_type == "bce":

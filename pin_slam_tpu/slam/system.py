@@ -41,11 +41,15 @@ from pin_slam_tpu.slam import mapper as mp
 from pin_slam_tpu.slam import tracker as tk
 
 
-def _pad_points(pts: np.ndarray, cap: int):
+def _pad_points(pts: np.ndarray, cap: int, attr_dim: int = 0):
+    """Pad [N, 3+attr] to [cap, 3] + [cap, attr_dim]."""
     n = min(pts.shape[0], cap)
     out = np.zeros((cap, 3), np.float32)
     out[:n] = pts[:n, :3]
-    return out, n
+    attr = np.zeros((cap, max(attr_dim, 1)), np.float32)
+    if attr_dim > 0:
+        attr[:n, :] = pts[:n, 3: 3 + attr_dim]
+    return out, attr, n
 
 
 class PinSLAMSystem:
@@ -136,6 +140,7 @@ class PinSLAMSystem:
             sem_label_decimation=c.sem_label_decimation,
             color_on=c.color_on,
             weight_i=c.weight_i,
+            color_channel=c.color_channel,
         )
         self._train_step = {
             True: mp.make_train_step(
@@ -172,7 +177,7 @@ class PinSLAMSystem:
         self._train_loops = {}
 
         # --- preprocess: crop + train/source downsample, compacted outputs
-        def preprocess(raw, n_valid):
+        def preprocess(raw, attr, n_valid):
             cap_r = raw.shape[0]
             mask = jnp.arange(cap_r) < n_valid
             d = jnp.linalg.norm(raw, axis=1)
@@ -185,22 +190,29 @@ class PinSLAMSystem:
                 ok = keep & (order < cap)
                 dest = jnp.where(ok, order, cap).astype(jnp.int32)
                 out = jnp.zeros((cap + 1, 3), jnp.float32).at[dest].set(raw)
+                a_out = jnp.zeros((cap + 1, attr.shape[1]), jnp.float32
+                                  ).at[dest].set(attr)
                 cnt = jnp.sum(ok.astype(jnp.int32))
-                return out[:cap], cnt
+                return out[:cap], a_out[:cap], cnt
 
-            train_pts, train_n = compact(train_keep, c.frame_point_cap)
+            train_pts, train_attr, train_n = compact(
+                train_keep, c.frame_point_cap)
             src_keep = voxel_down_sample_mask(
                 raw, train_keep, c.source_vox_down_m) & train_keep
-            src_pts, src_n = compact(src_keep, c.source_point_cap)
-            return train_pts, train_n, src_pts, src_n
+            src_pts, src_attr, src_n = compact(src_keep, c.source_point_cap)
+            return train_pts, train_attr, train_n, src_pts, src_attr, src_n
 
         self._preprocess = jax.jit(preprocess)
 
         # --- frame update: sample + map insert + pool append + new detect
-        def frame_update(state, pool, train_pts, train_n, T, cur_ts,
-                         travel_dist, key, force_all_new):
+        def frame_update(state, pool, train_pts, train_attr, train_n, T,
+                         cur_ts, travel_dist, key, force_all_new):
             mask = jnp.arange(train_pts.shape[0]) < train_n
             key, ks = jax.random.split(key)
+            colors = (train_attr[:, : c.color_channel]
+                      if c.color_on else None)
+            sem = (train_attr[:, c.color_channel].astype(jnp.int32)
+                   if c.semantic_on else None)
             smp = sample_training_points(
                 ks, train_pts, mask,
                 surface_sample_range_m=c.surface_sample_range_m,
@@ -212,6 +224,8 @@ class PinSLAMSystem:
                 max_range=c.max_range,
                 dist_weight_on=c.dist_weight_on,
                 dist_weight_scale=c.dist_weight_scale,
+                sem_labels=sem,
+                colors=colors,
             )
             world = transform_points(smp.points, T)
             # neural point update source (reference: utils/mapper.py:239-251)
@@ -230,7 +244,8 @@ class PinSLAMSystem:
 
             frame_start = pool.count
             pool = mp.append_samples(
-                pool, world, smp.sdf_label, smp.weight, smp.mask, cur_ts)
+                pool, world, smp.sdf_label, smp.weight, smp.mask, cur_ts,
+                sem_label=smp.sem_label, color_label=smp.color_label)
             pool = mp.detect_new_samples(
                 state, pool, world, smp.sdf_label, smp.mask, frame_start,
                 resolution=c.voxel_size_m,
@@ -286,10 +301,12 @@ class PinSLAMSystem:
     def process_frame(self, frame_id: int, points: np.ndarray,
                       point_ts: Optional[np.ndarray] = None,
                       gt_pose: Optional[np.ndarray] = None,
-                      loop_hook=None):
-        """Run steps I-IV for one frame. `points` is [N, 3+] float in the
-        sensor frame. `loop_hook(frame_id)` runs between odometry and
-        mapping (the reference's loop+PGO slot, pin_slam.py:280-348).
+                      loop_hook=None,
+                      sem_labels: Optional[np.ndarray] = None):
+        """Run steps I-IV for one frame. `points` is [N, 3+color] float in
+        the sensor frame; `sem_labels` [N] int when semantic_on.
+        `loop_hook(frame_id)` runs between odometry and mapping (the
+        reference's loop+PGO slot, pin_slam.py:280-348).
         Returns the odometry pose estimate (4x4 float64)."""
         c = self.config
         t0 = time.time()
@@ -322,10 +339,17 @@ class PinSLAMSystem:
             return init_guess.copy()
 
         # ---- I. preprocess
-        raw, n_raw = _pad_points(np.asarray(points, np.float32),
-                                 1 << int(np.ceil(np.log2(max(points.shape[0], 2)))))
-        train_pts, train_n, src_pts, src_n = self._preprocess(
-            jnp.asarray(raw), jnp.int32(n_raw))
+        attr_dim = (c.color_channel if c.color_on else 0) + int(c.semantic_on)
+        pts_in = np.asarray(points, np.float32)
+        if c.semantic_on and sem_labels is not None:
+            pts_in = np.hstack([
+                pts_in, np.asarray(sem_labels, np.float32)[:, None]])
+        raw, attr, n_raw = _pad_points(
+            pts_in, 1 << int(np.ceil(np.log2(max(points.shape[0], 2)))),
+            attr_dim)
+        (train_pts, train_attr, train_n, src_pts, src_attr,
+         src_n) = self._preprocess(
+            jnp.asarray(raw), jnp.asarray(attr), jnp.int32(n_raw))
         t1 = time.time()
 
         # ---- II. odometry
@@ -384,7 +408,7 @@ class PinSLAMSystem:
             T32 = jnp.asarray(self.cur_pose_ref, jnp.float32)
             (self.state, self.pool, self.key, new_ratio,
              new_obs_ratio) = self._frame_update(
-                self.state, self.pool, train_pts, train_n, T32,
+                self.state, self.pool, train_pts, train_attr, train_n, T32,
                 jnp.int32(frame_id), td, self.key,
                 jnp.bool_(system_rebooted))
             self.params["geo_features"] = self.state.geo_features

@@ -110,6 +110,10 @@ def run_pin_slam(
     system = PinSLAMSystem(config)
     if dataset.gt_pose_provided:
         system.set_gt_poses(dataset.gt_poses)
+    if config.load_model:
+        system.load_map(config.model_path)
+        if not config.silence:
+            print(f"localization mode: map loaded from {config.model_path}")
     loop_mgr = LoopPgoManager(config, system) if config.pgo_on else None
 
     t_start = time.time()
@@ -153,6 +157,22 @@ def run_pin_slam(
         write_ply_points(
             os.path.join(run_path, "map", "neural_points.ply"),
             np.asarray(system.state.positions[:cnt]))
+
+    if config.save_merged_pc:
+        from pin_slam_tpu.dataset.io import write_ply_points
+        from pin_slam_tpu.dataset.slam_dataset import crop_frame_np
+        final = system.pgo_poses if config.pgo_on else system.odom_poses
+        merged = []
+        for frame_id in range(0, n, max(1, n // 500)):
+            pts, _ = dataset.read_frame(frame_id)
+            pts = crop_frame_np(pts[:, :3], config.min_z, config.max_z,
+                                config.min_range, config.max_range)
+            pts = pts[:: max(1, pts.shape[0] // 20000)]
+            T = final[frame_id]
+            merged.append(pts @ T[:3, :3].T + T[:3, 3])
+        write_ply_points(
+            os.path.join(run_path, "map", "merged_point_cloud.ply"),
+            np.concatenate(merged).astype(np.float32))
 
     if config.save_mesh:
         from pin_slam_tpu.slam.mesher import Mesher, MeshConfig, write_ply

@@ -115,6 +115,7 @@ class PinSLAMSystem:
         self.loop_edges = []
         self.new_obs_ratio = 1.0
         self.adaptive_iter_offset = 0
+        self.localization_mode = False
 
         self._build_jits()
 
@@ -289,6 +290,23 @@ class PinSLAMSystem:
 
     # ------------------------------------------------------------ main loop
 
+    def load_map(self, path: str):
+        """Enter localization-with-prebuilt-map mode (reference:
+        pin_slam.py:157-177): load the saved map, freeze decoders, disable
+        mapping, track against the global map (no temporal filtering)."""
+        from pin_slam_tpu.utils.map_io import load_implicit_map
+
+        state, mlps, meta = load_implicit_map(
+            path, capacity=self.config.map_capacity)
+        self.state = state
+        self.params["geo_features"] = state.geo_features
+        self.params["geo_mlp"] = mlps["geo_mlp"]
+        if "color_mlp" in mlps and self.config.color_on:
+            self.params["color_mlp"] = mlps["color_mlp"]
+            self.params["color_features"] = state.color_features
+        self.decoder_freezed = True
+        self.localization_mode = True
+
     def set_after_pgo(self, on: bool):
         """Enable offset rotation by point orientations after the first map
         deformation (reference: model/neural_points.py:645-648 gated by
@@ -357,8 +375,11 @@ class PinSLAMSystem:
             anchor = self.last_pose_ref[:3, 3].copy()
             T_init = init_guess.copy()
             T_init[:3, 3] -= anchor
-            lf = self._lf(frame_id - 1,
-                          sensor_pos=self.last_pose_ref[:3, 3] - anchor)
+            # localization mode tracks against the global map without the
+            # temporal window (reference: pin_slam.py:176-177)
+            lf = (None if self.localization_mode else
+                  self._lf(frame_id - 1,
+                           sensor_pos=self.last_pose_ref[:3, 3] - anchor))
             res = self._track(
                 self.state, self.params["geo_features"],
                 self.params["geo_mlp"], src_pts,
@@ -402,7 +423,8 @@ class PinSLAMSystem:
         # ---- IV. mapping
         valid_mapping = (not self.lose_track) and (not self.stop_status)
         did_map = False
-        if frame_id < 5 or valid_mapping or system_rebooted:
+        if not self.localization_mode and (
+                frame_id < 5 or valid_mapping or system_rebooted):
             did_map = True
             td = jnp.asarray(self.travel_dist[: self.max_frames], jnp.float32)
             T32 = jnp.asarray(self.cur_pose_ref, jnp.float32)
@@ -445,6 +467,12 @@ class PinSLAMSystem:
 
             if (frame_id - self.reboot_ts) == c.freeze_after_frame:
                 self.decoder_freezed = True
+
+            # local bundle adjustment (reference: pin_slam.py:388-389)
+            if (c.track_on and c.ba_freq_frame > 0
+                    and (frame_id + 1) % c.ba_freq_frame == 0):
+                from pin_slam_tpu.slam.ba import run_bundle_adjustment
+                run_bundle_adjustment(self, frame_id)
 
             self.train(cur_iters, frame_id)
         t5 = time.time()

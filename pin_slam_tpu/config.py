@@ -279,6 +279,12 @@ class Config:
     save_mesh: bool = False
     sensor_cad_path: Optional[str] = None
 
+    # ---------------------------------------------------------------- ROS
+    run_with_ros: bool = False
+    publish_np_map: bool = True
+    republish_raw_input: bool = False
+    timeout_duration_s: int = 30
+
     # ------------------------------------------------------- TPU static shapes
     # capacity of the neural point map (number of points; grown by host
     # reallocation when exhausted)

@@ -29,6 +29,28 @@ class SLAMDataset:
         self.config = config
         self.silence = config.silence
 
+        # data-loader-backed mode (reference read_frame_with_loader,
+        # dataset/slam_dataset.py:215-252)
+        self.loader = None
+        if config.use_dataloader:
+            from pin_slam_tpu.dataset.dataloaders import dataset_factory
+            self.loader = dataset_factory(
+                config.data_loader_name, config.pc_path,
+                config.data_loader_seq)
+            self.total_pc_count = len(self.loader)
+            self.gt_poses = getattr(self.loader, "gt_poses", None)
+            if self.gt_poses is not None:
+                self.gt_poses = self.gt_poses[
+                    config.begin_frame: config.end_frame: config.step_frame]
+            self.gt_pose_provided = self.gt_poses is not None
+            self.frame_ids = list(range(
+                config.begin_frame,
+                min(config.end_frame, self.total_pc_count),
+                config.step_frame))
+            self.total_pc_count = len(self.frame_ids)
+            self.pc_filenames = []
+            return
+
         self.pc_filenames: List[str] = []
         if config.pc_path:
             self.pc_filenames = sorted(
@@ -64,6 +86,9 @@ class SLAMDataset:
 
     def read_frame(self, frame_id: int):
         """Returns (points [N,3(+c)] f64 sensor frame, point_ts or None)."""
+        if self.loader is not None:
+            d = self.loader[self.frame_ids[frame_id]]
+            return np.asarray(d["points"], np.float64), d.get("point_ts")
         filename = self.pc_filenames[frame_id]
         points, ts = pcio.read_point_cloud(
             filename, self.config.color_channel)
@@ -117,6 +142,22 @@ class SLAMDataset:
         if timings is not None:
             np.save(os.path.join(run_path, "time_table.npy"),
                     np.asarray(timings))
+            try:
+                from pin_slam_tpu.utils.plots import plot_timing_detail
+                plot_timing_detail(
+                    os.path.join(run_path, "timing_details.png"),
+                    np.asarray(timings))
+            except Exception:
+                pass
+        try:
+            from pin_slam_tpu.utils.plots import plot_trajectories
+            plot_trajectories(
+                os.path.join(run_path, "traj_plot_2d.png"), final,
+                self.gt_poses if self.gt_pose_provided else None,
+                extra={"odometry": odom_poses}
+                if slam_poses is not None else None)
+        except Exception:
+            pass
 
         metrics = {}
         if self.gt_pose_provided and self.gt_poses is not None:

@@ -19,18 +19,10 @@ P1 = np.uint32(73856093)
 P2 = np.uint32(19349669)
 P3 = np.uint32(83492791)
 
-# TPU has no native 32-bit integer multiply (measured: the three u32
-# multiplies cost ~4 ms for 540k hashes — 100x the gather itself). We
-# replace them with per-axis lookup tables TAB[i] = i * P mod 2^32 over the
-# wrapped coordinate range: identical hash values for |coord| within
-# +-_COORD_WRAP/2 cells (+-5 km at 0.3 m resolution), and three cheap
-# gathers instead of three emulated multiplies.
-_COORD_WRAP = 1 << 15
-_WRAP_MASK = np.uint32(_COORD_WRAP - 1)
-_IDX = np.arange(_COORD_WRAP, dtype=np.uint32)
-_TAB1 = (_IDX * P1).astype(np.uint32)
-_TAB2 = (_IDX * P2).astype(np.uint32)
-_TAB3 = (_IDX * P3).astype(np.uint32)
+# Perf note (measured on v5e): inside the fused query pipeline the three
+# u32 multiplies cost ~0.5 ms for 540k hashes, while a lookup-table variant
+# (TAB[i] = i*P mod 2^32) costs ~14 ms — the small-table gathers break XLA
+# fusion and force materialization. Keep the straight multiply form.
 
 
 def grid_coords(points: jnp.ndarray, resolution: float) -> jnp.ndarray:
@@ -43,10 +35,8 @@ def hash_grid(grid: jnp.ndarray, table_size: int) -> jnp.ndarray:
 
     table_size must be a power of two.
     """
-    u = grid.astype(jnp.uint32) & _WRAP_MASK
-    h = (jnp.asarray(_TAB1)[u[..., 0]]
-         + jnp.asarray(_TAB2)[u[..., 1]]
-         + jnp.asarray(_TAB3)[u[..., 2]])
+    u = grid.astype(jnp.uint32)
+    h = u[..., 0] * P1 + u[..., 1] * P2 + u[..., 2] * P3
     return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 

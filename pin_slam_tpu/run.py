@@ -55,6 +55,7 @@ def run_pin_slam(
     output_path: Optional[str] = None,
     frame_range: Optional[Tuple[int, int, int]] = None,
     seed: int = 42,
+    data_loader_on: bool = False,
     cpu_only: bool = False,
     log_on: bool = False,
     save_map: bool = False,
@@ -69,6 +70,7 @@ def run_pin_slam(
         config = Config()
         if config_path:
             config.load(config_path)
+    config.use_dataloader = config.use_dataloader or data_loader_on
     config.seed = seed
     config.silence = not log_on
     config.save_map = config.save_map or save_map
@@ -222,8 +224,8 @@ def main():
     metrics = run_pin_slam(
         a.config_path, a.dataset_name, a.sequence_name, a.input_path,
         a.output_path, tuple(a.range) if a.range else None, a.seed,
-        a.cpu_only, a.log_on, a.save_map, a.save_mesh, a.save_merged_pc,
-        a.deskew, argv=None)
+        a.data_loader_on, a.cpu_only, a.log_on, a.save_map, a.save_mesh,
+        a.save_merged_pc, a.deskew, argv=None)
     if metrics:
         print(metrics)
 

@@ -27,7 +27,9 @@ def build_frames(n_frames: int, n_az: int, n_el: int, cache: str):
         return [z[f"f{i}"] for i in range(n_frames)], z["poses"]
     seq = SyntheticSequence(
         scene_sdf=default_scene(half_extent=(40.0, 30.0, 6.0)),
-        poses=circle_trajectory(n_frames, radius=6.0, revolutions=0.02 * n_frames),
+        poses=circle_trajectory(n_frames, radius=6.0,
+                                revolutions=0.008 * n_frames,
+                                ease_in_frames=4),
         dirs=lidar_directions(n_az, n_el),
         max_range=80.0,
     )
@@ -85,18 +87,27 @@ def main():
     system.set_gt_poses(poses)
 
     times = []
+    mapped = []
+    prev_count = 0
     for fid in range(n_frames):
         t0 = time.time()
         system.process_frame(fid, frames[fid])
         jax.block_until_ready(system.state.positions)
         dt = time.time() - t0
         times.append(dt)
+        cnt = int(system.state.count)
+        mapped.append(cnt != prev_count)  # full track+map frame
+        prev_count = cnt
         print(f"[bench] frame {fid}: {dt*1e3:.1f} ms "
-              f"(map {int(system.state.count)})", file=sys.stderr)
+              f"(map {cnt}, tracked={not system.lose_track})",
+              file=sys.stderr)
 
-    steady = times[warmup:]
-    # median: robust to stray recompiles (first-run jit costs minutes through
-    # the TPU tunnel; the persistent compilation cache absorbs them afterward)
+    # median over steady-state frames that did FULL work (track+map);
+    # robust to stray recompiles (first-run jit costs minutes through the
+    # TPU tunnel; the persistent compilation cache absorbs them afterward)
+    steady = [t for t, m in zip(times[warmup:], mapped[warmup:]) if m]
+    if not steady:
+        steady = times[warmup:]
     ms = float(np.median(steady) * 1e3)
     fps = 1e3 / ms
     result = {

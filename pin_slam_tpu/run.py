@@ -118,6 +118,20 @@ def run_pin_slam(
             print(f"localization mode: map loaded from {config.model_path}")
     loop_mgr = LoopPgoManager(config, system) if config.pgo_on else None
 
+    visualizer = None
+    vis_mesher = None
+    if config.o3d_vis_on or config.mesh_default_on or config.sdf_default_on:
+        from pin_slam_tpu.utils.visualizer import FileVisualizer
+        from pin_slam_tpu.slam.mesher import Mesher, MeshConfig
+        visualizer = FileVisualizer(config, run_path)
+        vis_mesher = Mesher(
+            system.qp,
+            MeshConfig(mc_res_m=config.mc_res_m,
+                       mesh_min_nn=config.mesh_min_nn,
+                       skip_top_voxel=config.skip_top_voxel,
+                       min_cluster_vertices=0,
+                       infer_bs=config.infer_bs_final))
+
     t_start = time.time()
     for frame_id in range(dataset.total_pc_count):
         points, point_ts = dataset.read_frame(frame_id)
@@ -133,6 +147,8 @@ def run_pin_slam(
                              gt_pose=dataset.gt_poses[frame_id]
                              if dataset.gt_pose_provided else None,
                              loop_hook=hook)
+        if visualizer is not None:
+            visualizer.on_frame(system, frame_id, vis_mesher)
         if not config.silence and frame_id % 10 == 0:
             el = time.time() - t_start
             print(f"frame {frame_id}/{dataset.total_pc_count} "
@@ -144,6 +160,10 @@ def run_pin_slam(
     slam = system.pgo_poses[:n] if config.pgo_on else None
     metrics = dataset.write_results(
         run_path, odom, slam, np.asarray(system.timings))
+
+    if visualizer is not None:
+        visualizer.finalize(system, n, dataset.gt_poses
+                            if dataset.gt_pose_provided else None)
 
     if loop_mgr is not None and loop_mgr.pgo_count > 0:
         loop_mgr.write_g2o(os.path.join(run_path, "final_pose_graph.g2o"))

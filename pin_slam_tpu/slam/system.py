@@ -205,10 +205,22 @@ class PinSLAMSystem:
 
         self._preprocess = jax.jit(preprocess)
 
+        # --- map-based dynamic filtering (reference: utils/mapper.py:99-137)
+        def dynamic_filter(state, geo_features, geo_mlp, pts_world, mask, lf):
+            out = mq.query_decode(state, geo_features, geo_mlp, pts_world,
+                                  self.qp, lf=lf)
+            # measurements inside confidently-free space are dynamic
+            static = (out.certainty < c.dynamic_certainty_thre) | (
+                out.sdf < c.dynamic_sdf_ratio_thre * c.voxel_size_m)
+            return mask & static
+
+        self._dynamic_filter = jax.jit(dynamic_filter)
+
         # --- frame update: sample + map insert + pool append + new detect
         def frame_update(state, pool, train_pts, train_attr, train_n, T,
-                         cur_ts, travel_dist, key, force_all_new):
-            mask = jnp.arange(train_pts.shape[0]) < train_n
+                         cur_ts, travel_dist, key, force_all_new,
+                         static_mask):
+            mask = (jnp.arange(train_pts.shape[0]) < train_n) & static_mask
             key, ks = jax.random.split(key)
             colors = (train_attr[:, : c.color_channel]
                       if c.color_on else None)
@@ -428,11 +440,18 @@ class PinSLAMSystem:
             did_map = True
             td = jnp.asarray(self.travel_dist[: self.max_frames], jnp.float32)
             T32 = jnp.asarray(self.cur_pose_ref, jnp.float32)
+            static_mask = jnp.ones(c.frame_point_cap, bool)
+            if c.dynamic_filter_on and frame_id > 0:
+                world = transform_points(train_pts, T32)
+                static_mask = self._dynamic_filter(
+                    self.state, self.params["geo_features"],
+                    self.params["geo_mlp"], world,
+                    static_mask, self._lf(frame_id - 1))
             (self.state, self.pool, self.key, new_ratio,
              new_obs_ratio) = self._frame_update(
                 self.state, self.pool, train_pts, train_attr, train_n, T32,
                 jnp.int32(frame_id), td, self.key,
-                jnp.bool_(system_rebooted))
+                jnp.bool_(system_rebooted), static_mask)
             self.params["geo_features"] = self.state.geo_features
             if c.color_on:
                 self.params["color_features"] = self.state.color_features

@@ -37,7 +37,7 @@ from pin_slam_tpu.ops.transforms import (
     transform_points_batch,
 )
 from pin_slam_tpu.ops.voxel import (
-    voxel_down_sample_mask,
+    voxel_down_sample_hash_mask,
     voxel_down_sample_min_value_mask,
 )
 
@@ -124,7 +124,9 @@ def insert_points(
     C = state.capacity
     B = state.table_size
 
-    vmask = voxel_down_sample_mask(points, mask, resolution) & mask
+    # one candidate per hash slot (same collision structure as the table
+    # itself; scatter-based, no sort)
+    vmask = voxel_down_sample_hash_mask(points, mask, resolution, B) & mask
     grid = hash3d.grid_coords(points, resolution)
     h = hash3d.hash_grid(grid, B)
 

@@ -35,7 +35,10 @@ from pin_slam_tpu.ops.transforms import (
     np_rotation_angle_deg,
     transform_points,
 )
-from pin_slam_tpu.ops.voxel import voxel_down_sample_mask
+from pin_slam_tpu.ops.voxel import (
+    voxel_down_sample_hash_mask,
+    voxel_down_sample_mask,
+)
 from pin_slam_tpu.slam import map_query as mq
 from pin_slam_tpu.slam import mapper as mp
 from pin_slam_tpu.slam import tracker as tk
@@ -184,7 +187,8 @@ class PinSLAMSystem:
             d = jnp.linalg.norm(raw, axis=1)
             mask &= (d > c.min_range) & (d < c.max_range)
             mask &= (raw[:, 2] > c.min_z) & (raw[:, 2] < c.max_z)
-            train_keep = voxel_down_sample_mask(raw, mask, c.vox_down_m) & mask
+            train_keep = voxel_down_sample_hash_mask(
+                raw, mask, c.vox_down_m, 1 << 21) & mask
 
             def compact(keep, cap):
                 order = jnp.cumsum(keep.astype(jnp.int32)) - 1
@@ -198,8 +202,8 @@ class PinSLAMSystem:
 
             train_pts, train_attr, train_n = compact(
                 train_keep, c.frame_point_cap)
-            src_keep = voxel_down_sample_mask(
-                raw, train_keep, c.source_vox_down_m) & train_keep
+            src_keep = voxel_down_sample_hash_mask(
+                raw, train_keep, c.source_vox_down_m, 1 << 18) & train_keep
             src_pts, src_attr, src_n = compact(src_keep, c.source_point_cap)
             return train_pts, train_attr, train_n, src_pts, src_attr, src_n
 

@@ -36,14 +36,17 @@ def skew(v: jnp.ndarray) -> jnp.ndarray:
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues' formula, batched axis-angle [..., 3] -> rotation [..., 3, 3].
 
-    Uses Taylor expansions near zero so it is safe under jit/grad.
+    Taylor expansions near zero, with *gradient-safe* guards: the untaken
+    `jnp.where` branch must stay finite (0/0 there poisons the backward pass
+    — e.g. bundle adjustment initializes pose deltas at exactly zero).
     """
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + 1e-32)
-    small = theta < 1e-5
-    # sin(t)/t and (1-cos(t))/t^2 with Taylor fallbacks
+    small = theta2 < 1e-10
+    t2_safe = jnp.where(small, 1.0, theta2)  # keep untaken branch finite
+    theta = jnp.sqrt(t2_safe)
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
-    b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / theta2)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / t2_safe)
     S = skew(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), S.shape)
     return eye + a[..., None, None] * S + b[..., None, None] * (S @ S)

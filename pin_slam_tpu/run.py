@@ -149,6 +149,13 @@ def run_pin_slam(
                              loop_hook=hook)
         if visualizer is not None:
             visualizer.on_frame(system, frame_id, vis_mesher)
+        # periodic pose-log snapshots (reference: write_results_log,
+        # dataset/slam_dataset.py:646-666)
+        if config.log_freq_frame > 0 and \
+                (frame_id + 1) % config.log_freq_frame == 0:
+            np.save(os.path.join(run_path, "log",
+                                 f"odom_poses_{frame_id:05d}.npy"),
+                    system.odom_poses[: frame_id + 1])
         if not config.silence and frame_id % 10 == 0:
             el = time.time() - t_start
             print(f"frame {frame_id}/{dataset.total_pc_count} "
@@ -214,9 +221,26 @@ def run_pin_slam(
         verts, faces = mesher.recon_map_mesh(
             system.state, system.params["geo_features"],
             system.params["geo_mlp"])
+        mesh_colors = None
+        if verts.shape[0] and (config.color_on or config.semantic_on):
+            colors, sems = mesher.vertex_attributes(
+                system.state, system.params["geo_features"],
+                system.params["geo_mlp"], verts,
+                color_features=system.params.get("color_features"),
+                color_mlp=system.params.get("color_mlp")
+                if config.color_on else None,
+                sem_mlp=system.params.get("sem_mlp")
+                if config.semantic_on else None,
+                color_channel=config.color_channel)
+            if config.semantic_on and sems is not None:
+                from pin_slam_tpu.utils.semantic_kitti_utils import (
+                    sem_kitti_color)
+                mesh_colors = sem_kitti_color(sems)
+            else:
+                mesh_colors = colors
         mesh_path = os.path.join(
             run_path, "mesh", f"mesh_{round(out_res * 100)}cm.ply")
-        write_ply(mesh_path, verts, faces)
+        write_ply(mesh_path, verts, faces, mesh_colors)
         if not config.silence:
             print(f"mesh saved to {mesh_path}")
 

@@ -158,6 +158,48 @@ class Mesher:
                                           self.mc.min_cluster_vertices)
         return verts, faces
 
+    # ----------------------------------------------------- vertex attributes
+
+    def vertex_attributes(
+        self, state: npm.MapState, geo_features, geo_mlp,
+        verts: np.ndarray,
+        color_features=None, color_mlp=None, sem_mlp=None,
+        color_channel: int = 3,
+    ):
+        """Query per-vertex color / semantics (reference:
+        utils/mesher.py:399-441). Returns (colors [V,3] or None,
+        sem_labels [V] or None)."""
+        n = verts.shape[0]
+        bs = self.mc.infer_bs
+        colors = (np.zeros((n, 3), np.float32)
+                  if color_mlp is not None else None)
+        sems = np.zeros(n, np.int32) if sem_mlp is not None else None
+
+        def batch_fn(state, gf, gm, pts, cf, cm, sm):
+            out = mq.query_decode(
+                state, gf, gm, pts, self.qp,
+                color_features=cf, color_mlp=cm, sem_mlp=sm,
+                color_channel=color_channel)
+            col = out.color if out.color is not None else jnp.zeros((1,))
+            sem = (jnp.argmax(out.sem_log_prob, -1)
+                   if out.sem_log_prob is not None else jnp.zeros((1,)))
+            return col, sem
+
+        fn = jax.jit(batch_fn)
+        for b in range(math.ceil(n / bs)):
+            lo, hi = b * bs, min((b + 1) * bs, n)
+            batch = np.zeros((bs, 3), np.float32)
+            batch[: hi - lo] = verts[lo:hi]
+            col, sem = fn(state, geo_features, geo_mlp, jnp.asarray(batch),
+                          color_features, color_mlp, sem_mlp)
+            if colors is not None:
+                c = np.asarray(col)[: hi - lo]
+                colors[lo:hi] = c if c.shape[1] == 3 else np.repeat(
+                    c[:, :1], 3, 1)
+            if sems is not None:
+                sems[lo:hi] = np.asarray(sem)[: hi - lo]
+        return colors, sems
+
     # ------------------------------------------------------------ sdf slice
 
     def sdf_slice(

@@ -62,6 +62,11 @@ class PinSLAMSystem:
         self.config = config
         self.key = key if key is not None else jax.random.PRNGKey(config.seed)
 
+        # TPU MXU defaults to bf16 passes for f32 matmuls; our matmuls are
+        # tiny (decoder MLPs, 6x6 normal equations) but numerically load-
+        # bearing — force full f32 everywhere (no measurable cost here).
+        jax.config.update("jax_default_matmul_precision", "highest")
+
         c = config
         self.qp = mq.make_query_params(c)
         self.after_pgo = False

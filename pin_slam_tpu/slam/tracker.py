@@ -58,6 +58,9 @@ class TrackResult(NamedTuple):
     eigenvalues: jnp.ndarray   # [3] translation-part eigenvalues
     weights: jnp.ndarray       # [S] per-point robust weights (vis/debug)
     valid_mask: jnp.ndarray    # [S]
+    fail_code: jnp.ndarray     # scalar i32 bitmask: 1=residual blow-up,
+    #                            2=too few valid, 4=final residual,
+    #                            8=eigenvalue degeneracy
 
 
 def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
@@ -120,7 +123,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
 
         def body(carry):
             (T, i, last_res, valid_flag, converged, stop,
-             H_keep, res_keep, cnt_keep, mse_keep) = carry
+             H_keep, res_keep, cnt_keep, mse_keep, fail_code) = carry
 
             pts = src @ T[:3, :3].T + T[:3, 3]
             H, g, res_cm, vcount, mse, _, _ = registration_quantities(
@@ -143,6 +146,8 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
                 vcount.astype(jnp.float32) / src_count.astype(jnp.float32)
                 < min_ratio)
             valid_new = valid_flag & ~inc_fail & ~few_fail
+            fail_code = fail_code | jnp.where(inc_fail, 1, 0) \
+                | jnp.where(few_fail, 2, 0)
 
             stop_new = (~valid_new) | converged  # (reference :171-172)
 
@@ -153,7 +158,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
             converged_new = converged | small | (i == tp.reg_iter_n - 2)
 
             return (T_new, i + 1, last_res, valid_new, converged_new,
-                    stop_new, H, res_cm, vcount, mse)
+                    stop_new, H, res_cm, vcount, mse, fail_code)
 
         def cond(carry):
             (_, i, _, _, _, stop, *_rest) = carry
@@ -163,16 +168,21 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
             init_T, jnp.int32(0), jnp.float32(1e5),
             jnp.bool_(True), jnp.bool_(False), jnp.bool_(False),
             jnp.eye(6), jnp.float32(0.0), jnp.int32(0), jnp.float32(0.0),
+            jnp.int32(0),
         )
-        (T, iters, _, valid_flag, _, _, H_raw, res_cm, vcount, mse) = \
-            jax.lax.while_loop(cond, body, init)
+        (T, iters, _, valid_flag, _, _, H_raw, res_cm, vcount, mse,
+         fail_code) = jax.lax.while_loop(cond, body, init)
 
         # final checks (reference: utils/tracker.py:198-216)
-        valid_flag = valid_flag & (res_cm <= tp.max_valid_residual_cm)
+        res_ok = res_cm <= tp.max_valid_residual_cm
+        valid_flag = valid_flag & res_ok
+        fail_code = fail_code | jnp.where(res_ok, 0, 4)
         eig = jnp.linalg.eigvalsh(H_raw[3:, 3:])
         if tp.eigenvalue_check:
-            valid_flag = valid_flag & (
-                eig[0] >= vcount.astype(jnp.float32) * tp.eigenvalue_ratio_thre)
+            eig_ok = eig[0] >= vcount.astype(jnp.float32) \
+                * tp.eigenvalue_ratio_thre
+            valid_flag = valid_flag & eig_ok
+            fail_code = fail_code | jnp.where(eig_ok, 0, 8)
 
         cov = jnp.linalg.inv(
             H_raw + 1e-9 * jnp.eye(6)) * mse  # (reference :689-693)
@@ -185,7 +195,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         return TrackResult(
             pose=T, cov=cov, valid=valid_flag, residual_cm=res_cm,
             valid_count=vcount, iterations=iters, eigenvalues=eig,
-            weights=w_final, valid_mask=valid_final,
+            weights=w_final, valid_mask=valid_final, fail_code=fail_code,
         )
 
     return track

@@ -58,6 +58,11 @@ class MapState:
     certainty: jnp.ndarray       # [C+1] f32
     count: jnp.ndarray           # [] i32 number of valid points
     table: jnp.ndarray           # [B+1] i32 hash table (-1 empty); row B = dump
+    # query cache: fused per-cell record [B+1, 4] f32 =
+    # (bitcast(point idx), x, y, z) — ONE 16-byte gather per probed cell
+    # instead of a table gather followed by a dependent position gather
+    # (random gathers are transaction-bound on TPU; this halves them).
+    table_rec: jnp.ndarray
 
     @property
     def capacity(self) -> int:
@@ -97,7 +102,39 @@ def init_map_state(
         certainty=jnp.zeros((c1,), dtype),
         count=jnp.zeros((), jnp.int32),
         table=jnp.full((table_size + 1,), -1, jnp.int32),
+        table_rec=_empty_table_rec(table_size),
     )
+
+
+REC_W = 8  # record: [bitcast(idx), x, y, z, ts_create, pad, pad, pad]
+
+
+def _empty_table_rec(table_size: int) -> jnp.ndarray:
+    rec = jnp.zeros((table_size + 1, REC_W), jnp.float32)
+    neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
+    return rec.at[:, 0].set(neg1)
+
+
+def _pack_rec(idx: jnp.ndarray, pos: jnp.ndarray,
+              ts: jnp.ndarray) -> jnp.ndarray:
+    """[M] i32 + [M,3] f32 + [M] i32 -> [M, REC_W] f32 records."""
+    z = jnp.zeros(idx.shape + (3,), jnp.float32)
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(idx, jnp.float32)[..., None], pos,
+         ts.astype(jnp.float32)[..., None], z], axis=-1)
+
+
+def rebuild_table_rec(state: "MapState") -> "MapState":
+    """Recompute the fused cell records from (table, positions, ts_create) —
+    required after any operation that moves points or rewrites the table
+    wholesale (deform, rehash, prune)."""
+    B = state.table_size
+    C = state.capacity
+    idx = state.table
+    safe = jnp.where(idx >= 0, idx, C)
+    rec = _pack_rec(idx, state.positions[safe], state.ts_create[safe])
+    rec = rec.at[B].set(_empty_table_rec(0)[0])
+    return state.replace(table_rec=rec)
 
 
 # ---------------------------------------------------------------------------
@@ -174,11 +211,17 @@ def insert_points(
     if color_features is not None:
         color_features = color_features.at[dest].set(feat_init)
 
-    table = state.table.at[jnp.where(vmask, h, B)].set(
-        jnp.where(is_new, dest, existing)
-    )
+    h_eff = jnp.where(vmask, h, B)
+    slot_idx = jnp.where(is_new, dest, existing)
+    table = state.table.at[h_eff].set(slot_idx)
     # keep dump row clean
     table = table.at[B].set(-1)
+    slot_pos = jnp.where(is_new[:, None], points, epos)
+    slot_ts = jnp.where(is_new, jnp.int32(cur_ts),
+                        state.ts_create[existing_c])
+    table_rec = state.table_rec.at[h_eff].set(
+        _pack_rec(slot_idx, slot_pos, slot_ts))
+    table_rec = table_rec.at[B].set(_empty_table_rec(0)[0])
 
     new_state = state.replace(
         positions=positions,
@@ -190,6 +233,7 @@ def insert_points(
         certainty=certainty,
         count=state.count + new_count,
         table=table,
+        table_rec=table_rec,
     )
     return new_state, new_ratio
 
@@ -225,17 +269,19 @@ def query_neighbors(
     grid = hash3d.grid_coords(qpts, resolution)           # [N, 3]
     cells = grid[:, None, :] + offs[None, :, :]           # [N, K, 3]
     h = hash3d.hash_grid(cells, B)                        # [N, K]
-    idx = state.table[h]                                  # [N, K]
+    rec = state.table_rec[h]                              # [N, K, REC_W]
+    idx = jax.lax.bitcast_convert_type(rec[..., 0], jnp.int32)
     valid = idx >= 0
     idx_c = jnp.where(valid, idx, C)
 
-    pos = state.positions[idx_c]                          # [N, K, 3]
+    pos = rec[..., 1:4]                                   # [N, K, 3]
     d2 = jnp.sum((pos - qpts[:, None, :]) ** 2, axis=-1)  # [N, K]
     valid = valid & (d2 <= max_dist2)
 
     if time_filter:
-        tsc = state.ts_create[idx_c]
-        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[tsc])
+        tsc = rec[..., 4].astype(jnp.int32)
+        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[
+            jnp.where(valid, tsc, 0)])
         valid = valid & (dtd < local_window_dist) & (tsc >= reboot_ts)
     if radius_filter and sensor_pos is not None:
         d2s = jnp.sum((pos - sensor_pos[None, None, :]) ** 2, axis=-1)
@@ -410,7 +456,7 @@ def rehash(
     table = jnp.full_like(state.table, -1)
     table = table.at[h].set(jnp.arange(C + 1, dtype=jnp.int32))
     table = table.at[B].set(-1)
-    return state.replace(table=table)
+    return rebuild_table_rec(state.replace(table=table))
 
 
 def deform_map(

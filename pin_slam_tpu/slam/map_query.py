@@ -208,6 +208,50 @@ def query_sdf_and_grad(
     return out.sdf, grad, out
 
 
+def numerical_grad_from_neighbors(
+    state: npm.MapState,
+    geo_features: jnp.ndarray,
+    geo_mlp,
+    qpts: jnp.ndarray,            # [M, 3] base (decimated) points
+    qn: npm.QueryNeighbors,       # their neighbors from the main query
+    eps: float,
+    qp: QueryParams,
+):
+    """Two-sided numerical SDF gradient reusing the base points' neighbor
+    sets for the +-eps shifted queries (eps << voxel size, so the k-NN set
+    is unchanged) — skips six full hash probes per training batch. Weights
+    and offsets ARE recomputed per shifted position. Returns grad [M, 3]."""
+    m = qpts.shape[0]
+    k = qn.idx.shape[1]
+    pos = state.positions[qn.idx]                     # [M, k, 3]
+    feats = _maybe_layer_norm(geo_features[qn.idx], qp.layer_norm_on)
+
+    shifts = jnp.array(
+        [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],
+         [0, -eps, 0], [0, 0, eps], [0, 0, -eps]], qpts.dtype)  # [6, 3]
+    q6 = qpts[None, :, :] + shifts[:, None, :]        # [6, M, 3]
+    diff = q6[:, :, None, :] - pos[None]              # [6, M, k, 3]
+    d2 = jnp.sum(diff * diff, axis=-1)                # [6, M, k]
+    valid = qn.valid[None] & (d2 <= qp.max_dist2)
+    d2 = jnp.where(valid, d2, npm.BIG_DIST2)
+    w = jnp.where(valid, 1.0 / (d2 + 1e-15), 0.0)
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-15)
+    vec = jnp.where(valid[..., None], diff, 0.0)
+    gv = jnp.concatenate(
+        [jnp.broadcast_to(feats[None], (6, m, k, feats.shape[-1])), vec],
+        axis=-1)                                      # [6, M, k, F+3]
+    if qp.weighted_first:
+        fused = jnp.sum(gv * w[..., None], axis=2)    # [6, M, F+3]
+        s = sdf_apply(geo_mlp, fused, qp.sdf_scale)   # [6, M]
+    else:
+        per = sdf_apply(geo_mlp, gv, qp.sdf_scale)    # [6, M, k]
+        s = jnp.sum(per * w, axis=-1)
+    gx = (s[0] - s[1]) / (2 * eps)
+    gy = (s[2] - s[3]) / (2 * eps)
+    gz = (s[4] - s[5]) / (2 * eps)
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
 def query_sdf_numerical_grad(
     state: npm.MapState,
     geo_features: jnp.ndarray,

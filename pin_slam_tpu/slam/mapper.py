@@ -277,9 +277,11 @@ def mapping_loss(
     eik_loss = 0.0
     if ekional_loss_on and weight_e > 0:
         dec = coord[::gradient_decimation]
-        g = mq.query_sdf_numerical_grad(
+        qn_dec = jax.tree.map(lambda a: a[::gradient_decimation],
+                              out.neighbors)
+        g = mq.numerical_grad_from_neighbors(
             state, params["geo_features"], params["geo_mlp"], dec,
-            numerical_grad_eps, qp, lf=lf)
+            qn_dec, numerical_grad_eps, qp)
         eik_loss = L.eikonal_loss(g, mask[::gradient_decimation])
         total = total + weight_e * eik_loss
 

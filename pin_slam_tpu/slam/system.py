@@ -183,6 +183,11 @@ class PinSLAMSystem:
             eigenvalue_check=c.eigenvalue_check,
             eigenvalue_ratio_thre=c.eigenvalue_ratio_thre,
             weighted_first=c.weighted_first,
+            color_mode=(2 if (c.color_on and c.photometric_loss_on)
+                        else 1 if (c.color_on and c.consist_wieght_on)
+                        else 0),
+            photometric_weight=c.photometric_loss_weight,
+            color_channel=max(c.color_channel, 1),
         )
         self._track = jax.jit(tk.make_tracker(self.qp, tp))
         self._track_loop = jax.jit(
@@ -420,12 +425,24 @@ class PinSLAMSystem:
             lf = (None if self.localization_mode else
                   self._lf(frame_id - 1,
                            sensor_pos=self.last_pose_ref[:3, 3] - anchor))
+            color_kwargs = {}
+            if c.color_on and (c.photometric_loss_on or c.consist_wieght_on):
+                cols = src_attr[:, : c.color_channel]
+                # rgb -> intensity (reference color_to_intensity,
+                # utils/tools.py)
+                inten = (cols[:, 0] if c.color_channel == 1 else
+                         0.299 * cols[:, 0] + 0.587 * cols[:, 1]
+                         + 0.114 * cols[:, 2])
+                color_kwargs = dict(
+                    src_intensity=inten,
+                    color_features=self.params.get("color_features"),
+                    color_mlp=self.params.get("color_mlp"))
             res = self._track(
                 self.state, self.params["geo_features"],
                 self.params["geo_mlp"], src_pts,
                 jnp.arange(c.source_point_cap) < src_n,
                 jnp.asarray(T_init, jnp.float32), lf,
-                jnp.asarray(anchor, jnp.float32))
+                jnp.asarray(anchor, jnp.float32), **color_kwargs)
             self.last_tracking = res
             # ONE host round trip for everything the frame logic needs
             # (each separate pull costs a full device RTT)

@@ -46,6 +46,11 @@ class TrackerParams(NamedTuple):
     eigenvalue_ratio_thre: float = 0.005
     max_increment_residual_ratio: float = 1.1
     weighted_first: bool = True
+    # color handling (reference: utils/tracker.py:493-543):
+    # 0 = geometry only, 1 = color-consistency weight, 2 = photometric term
+    color_mode: int = 0
+    photometric_weight: float = 0.01
+    color_channel: int = 1
 
 
 class TrackResult(NamedTuple):
@@ -68,8 +73,11 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
     lf, anchor) -> TrackResult; jit it at the call site (the system wraps it
     with donation)."""
 
+    use_color = tp.color_mode > 0
+
     def registration_quantities(state, geo_features, geo_mlp, pts, src_mask,
-                                lf, anchor):
+                                lf, anchor, src_intensity, color_features,
+                                color_mlp):
         sdf, grad, out = mq.query_sdf_and_grad(
             state, geo_features, geo_mlp, pts, qp,
             anchor=anchor, lf=lf, with_std=not tp.weighted_first)
@@ -91,6 +99,27 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         w_grad = (tp.gm_grad / (tp.gm_grad + grad_anomaly**2)) ** 2
         w_res = (tp.gm_dist / (tp.gm_dist + residual**2)) ** 2
         w = w_grad * w_res
+
+        int_pred = int_grad = None
+        if use_color:
+            # predicted intensity + its spatial gradient
+            def int_fn(p):
+                o = mq.query_decode(
+                    state, geo_features, geo_mlp, p, qp, anchor=anchor,
+                    lf=lf, color_features=color_features,
+                    color_mlp=color_mlp, color_channel=tp.color_channel)
+                if tp.color_channel == 3:
+                    inten = (0.299 * o.color[:, 0] + 0.587 * o.color[:, 1]
+                             + 0.114 * o.color[:, 2])
+                else:
+                    inten = o.color[:, 0]
+                return jnp.sum(inten), inten
+
+            int_grad, int_pred = jax.grad(int_fn, has_aux=True)(pts)
+            if tp.color_mode == 1:
+                # intensity-consistency weight (reference :509-515)
+                w = w * jnp.exp(-jnp.abs(int_pred - src_intensity))
+
         w = jnp.where(valid, w, 0.0)
         vcount = jnp.sum(valid.astype(jnp.int32))
         w_mean = jnp.sum(w) / jnp.maximum(vcount.astype(jnp.float32), 1.0)
@@ -102,6 +131,15 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         Jw = J * w[:, None]
         H = Jw.T @ J                                       # [6, 6]
         g = -(Jw.T @ residual)                             # [6]
+
+        if use_color and tp.color_mode == 2:
+            # photometric term (reference: implicit_color_reg,
+            # utils/tracker.py:699-744)
+            res_c = int_pred - src_intensity
+            Jc = jnp.concatenate([jnp.cross(pts, int_grad), int_grad], -1)
+            Jcw = Jc * w[:, None]
+            H = H + tp.photometric_weight * (Jcw.T @ Jc)
+            g = g - tp.photometric_weight * (Jcw.T @ res_c)
 
         res_cm = (
             jnp.sum(jnp.where(valid, jnp.abs(residual), 0.0))
@@ -116,18 +154,23 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
     def track(state: npm.MapState, geo_features, geo_mlp,
               src: jnp.ndarray, src_mask: jnp.ndarray,
               init_T: jnp.ndarray, lf: mq.LocalFilter,
-              anchor: jnp.ndarray, loop_reg=False) -> TrackResult:
+              anchor: jnp.ndarray, loop_reg=False,
+              src_intensity=None, color_features=None,
+              color_mlp=None) -> TrackResult:
         S = src.shape[0]
         src_count = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1)
         min_ratio = 0.15 if loop_reg else tp.min_valid_ratio
 
         def body(carry):
             (T, i, last_res, valid_flag, converged, stop,
-             H_keep, res_keep, cnt_keep, mse_keep, fail_code) = carry
+             H_keep, res_keep, cnt_keep, mse_keep, fail_code,
+             w_keep, vmask_keep) = carry
 
             pts = src @ T[:3, :3].T + T[:3, 3]
-            H, g, res_cm, vcount, mse, _, _ = registration_quantities(
-                state, geo_features, geo_mlp, pts, src_mask, lf, anchor)
+            H, g, res_cm, vcount, mse, w_pts, vmask = \
+                registration_quantities(
+                    state, geo_features, geo_mlp, pts, src_mask, lf, anchor,
+                    src_intensity, color_features, color_mlp)
 
             H_lm = H + tp.lm_lambda * jnp.diag(jnp.diag(H))
             enough = vcount >= 10
@@ -158,7 +201,8 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
             converged_new = converged | small | (i == tp.reg_iter_n - 2)
 
             return (T_new, i + 1, last_res, valid_new, converged_new,
-                    stop_new, H, res_cm, vcount, mse, fail_code)
+                    stop_new, H, res_cm, vcount, mse, fail_code,
+                    w_pts, vmask)
 
         def cond(carry):
             (_, i, _, _, _, stop, *_rest) = carry
@@ -168,10 +212,12 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
             init_T, jnp.int32(0), jnp.float32(1e5),
             jnp.bool_(True), jnp.bool_(False), jnp.bool_(False),
             jnp.eye(6), jnp.float32(0.0), jnp.int32(0), jnp.float32(0.0),
-            jnp.int32(0),
+            jnp.int32(0), jnp.zeros((S,), jnp.float32),
+            jnp.zeros((S,), bool),
         )
         (T, iters, _, valid_flag, _, _, H_raw, res_cm, vcount, mse,
-         fail_code) = jax.lax.while_loop(cond, body, init)
+         fail_code, w_final, valid_final) = jax.lax.while_loop(
+            cond, body, init)
 
         # final checks (reference: utils/tracker.py:198-216)
         res_ok = res_cm <= tp.max_valid_residual_cm
@@ -187,11 +233,8 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         cov = jnp.linalg.inv(
             H_raw + 1e-9 * jnp.eye(6)) * mse  # (reference :689-693)
 
-        # per-point weights at the final pose (vis / weight_pc output)
-        pts = src @ T[:3, :3].T + T[:3, 3]
-        _, _, _, _, _, w_final, valid_final = registration_quantities(
-            state, geo_features, geo_mlp, pts, src_mask, lf, anchor)
-
+        # per-point weights from the last executed iteration
+        # (vis / weight_pc output; avoids an extra full query)
         return TrackResult(
             pose=T, cov=cov, valid=valid_flag, residual_cm=res_cm,
             valid_count=vcount, iterations=iters, eigenvalues=eig,

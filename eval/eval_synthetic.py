@@ -81,7 +81,7 @@ def main():
     traj = get_metrics(seq.poses[:n], system.odom_poses[:n], align_on=False)
 
     mesher = Mesher(system.qp, MeshConfig(
-        mc_res_m=0.15, mesh_min_nn=8, min_cluster_vertices=100,
+        mc_res_m=0.15, mesh_min_nn=10, min_cluster_vertices=100,
         infer_bs=1 << 15, skip_top_voxel=0))
     v, f = mesher.recon_map_mesh(
         system.state, system.params["geo_features"],

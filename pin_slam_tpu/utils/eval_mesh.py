@@ -48,6 +48,17 @@ def eval_mesh(
 ) -> Dict[str, float]:
     """Chamfer-L1/L2 [m] + precision/recall/F-score [%] at `threshold`
     (reference: eval/eval_mesh_utils.py:8-91)."""
+    if pred_points.shape[0] == 0 or gt_points.shape[0] == 0:
+        return {
+            "MAE_accuracy (m)": float("inf"),
+            "MAE_completeness (m)": float("inf"),
+            "Chamfer_L1 (m)": float("inf"),
+            "Chamfer_L2 (m)": float("inf"),
+            "Precision [Accuracy] (%)": 0.0,
+            "Recall [Completeness] (%)": 0.0,
+            "F-score (%)": 0.0,
+            "Spacing (m)": threshold,
+        }
     acc = nn_distances(pred_points, gt_points, truncation_acc)
     com = nn_distances(gt_points, pred_points, truncation_com)
     precision = float((acc < threshold).mean() * 100.0)

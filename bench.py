@@ -24,7 +24,9 @@ def build_frames(n_frames: int, n_az: int, n_el: int, cache: str):
 
     if os.path.exists(cache):
         z = np.load(cache, allow_pickle=True)
-        return [z[f"f{i}"] for i in range(n_frames)], z["poses"]
+        if f"f{n_frames - 1}" in z.files:
+            return [z[f"f{i}"] for i in range(n_frames)], z["poses"]
+        os.remove(cache)  # stale cache from a shorter BENCH_FRAMES run
     seq = SyntheticSequence(
         scene_sdf=default_scene(half_extent=(40.0, 30.0, 6.0)),
         poses=circle_trajectory(n_frames, radius=6.0,

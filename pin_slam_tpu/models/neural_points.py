@@ -161,6 +161,9 @@ def insert_points(
     feature_noise: Optional[jnp.ndarray] = None,  # [M, F] optional init noise
     use_reobs_rule: bool = True,
     force_all_new=False,   # traced bool: reboot path (reference :341,357-360)
+    insert_cap: int = 1 << 16,  # max new points accepted per call (extras
+                                # drop and re-insert next frame via the
+                                # novelty probe)
 ):
     """Voxel-downsample candidates, probe the hash table, append genuinely new
     points, and (re)point the table at them. Returns (state, new_point_ratio).
@@ -189,17 +192,32 @@ def insert_points(
         is_new = is_new | (vmask & exist_valid & (delta_td > local_window_dist))
     is_new = jnp.where(force_all_new, vmask, is_new)
 
-    order = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    slots = state.count + order
-    room = slots < C
-    is_new = is_new & room
-    dest = jnp.where(is_new, slots, C).astype(jnp.int32)
-
-    new_count = jnp.sum(is_new.astype(jnp.int32))
     sampled = jnp.maximum(jnp.sum(vmask.astype(jnp.int32)), 1)
+
+    # TPU scatter throughput is per-ROW (~20M rows/s), independent of target
+    # size — scattering all M candidate rows into the big state arrays costs
+    # ~0.23 s at M=460k while only O(1k) rows are genuinely new. So compact
+    # the new candidates into a small fixed-size frame buffer first (one
+    # cheap 1-wide int scatter), then touch the state arrays with only
+    # `icap` rows.
+    M = points.shape[0]
+    icap = min(M, insert_cap)
+    order = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    cdest = jnp.where(is_new & (order < icap), order, icap)
+    cand = jnp.full((icap + 1,), M, jnp.int32).at[cdest].set(
+        jnp.arange(M, dtype=jnp.int32))[:icap]
+    cvalid = cand < M
+    ci = jnp.where(cvalid, cand, 0)
+
+    cpts = points[ci]                                       # [icap, 3]
+    slots = state.count + jnp.arange(icap, dtype=jnp.int32)
+    room = cvalid & (slots < C)
+    dest = jnp.where(room, slots, C).astype(jnp.int32)
+
+    new_count = jnp.sum(room.astype(jnp.int32))
     new_ratio = new_count.astype(jnp.float32) / sampled.astype(jnp.float32)
 
-    positions = state.positions.at[dest].set(points)
+    positions = state.positions.at[dest].set(cpts)
     orientations = state.orientations.at[dest].set(
         jnp.array([1.0, 0.0, 0.0, 0.0], state.orientations.dtype)
     )
@@ -208,9 +226,9 @@ def insert_points(
     ts_update = state.ts_update.at[dest].set(ts_new)
     certainty = state.certainty.at[dest].set(0.0)
     feat_init = (
-        feature_noise
+        feature_noise[ci]
         if feature_noise is not None
-        else jnp.zeros((points.shape[0], state.geo_features.shape[1]),
+        else jnp.zeros((icap, state.geo_features.shape[1]),
                        state.geo_features.dtype)
     )
     geo_features = state.geo_features.at[dest].set(feat_init)
@@ -218,16 +236,14 @@ def insert_points(
     if color_features is not None:
         color_features = color_features.at[dest].set(feat_init)
 
-    h_eff = jnp.where(vmask, h, B)
-    slot_idx = jnp.where(is_new, dest, existing)
-    table = state.table.at[h_eff].set(slot_idx)
-    # keep dump row clean
-    table = table.at[B].set(-1)
-    slot_pos = jnp.where(is_new[:, None], points, epos)
-    slot_ts = jnp.where(is_new, jnp.int32(cur_ts),
-                        state.ts_create[existing_c])
+    # hash-table updates are only needed for the NEW rows: existing
+    # occupants' cells already hold the identical (idx, pos, ts) record
+    h_eff = jnp.where(room, h[ci], B)
+    table = state.table.at[h_eff].set(jnp.where(room, dest, -1))
+    table = table.at[B].set(-1)                 # keep dump row clean
     table_rec = state.table_rec.at[h_eff].set(
-        _pack_rec(slot_idx, slot_pos, slot_ts))
+        _pack_rec(dest, cpts, jnp.broadcast_to(jnp.int32(cur_ts),
+                                               dest.shape)))
     table_rec = table_rec.at[B].set(_empty_table_rec(0)[0])
 
     new_state = state.replace(
@@ -307,6 +323,41 @@ def query_neighbors(
         idx=idx_k.astype(jnp.int32), dist2=dist2_k, valid=valid_k,
         nn_count=nn_count,
     )
+
+
+def local_map_mask(
+    state: MapState,
+    travel_dist: jnp.ndarray,        # [maxT] f32
+    cur_ts,
+    local_window_dist: float,
+    *,
+    by_travel_dist: bool = True,
+    time_window: int = 100,
+    sensor_pos: Optional[jnp.ndarray] = None,
+    local_map_radius: float = 0.0,
+    reboot_ts=0,
+) -> jnp.ndarray:
+    """Row-level [C] mask of the conceptual local map — the same travel-dist
+    window / time window / radius criteria the query path applies per
+    neighbor (see `query_neighbors`; reference materializes this set in
+    model/neural_points.py:424-513 `reset_local_map`). Used where an explicit
+    point set is needed (loop-closure map context descriptors)."""
+    C = state.capacity
+    rows = jnp.arange(C)
+    alive = rows < state.count
+    tsc = state.ts_create[:C]
+    if by_travel_dist:
+        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[
+            jnp.clip(tsc, 0, travel_dist.shape[0] - 1)])
+        m = alive & (dtd < local_window_dist)
+    else:
+        m = alive & (jnp.abs(cur_ts - tsc) < time_window)
+    m = m & (tsc >= reboot_ts)
+    if sensor_pos is not None and local_map_radius > 0.0:
+        d2 = jnp.sum((state.positions[:C] - sensor_pos[None, :]) ** 2,
+                     axis=-1)
+        m = m & (d2 < local_map_radius * local_map_radius)
+    return m
 
 
 def idw_weights(qn: QueryNeighbors, eps: float = 1e-15) -> jnp.ndarray:

@@ -54,6 +54,33 @@ class LoopPgoManager:
 
         self._transform_pool = jax.jit(transform_pool)
 
+        self._lm_mask = jax.jit(
+            lambda state, travel, ts, pos: npm.local_map_mask(
+                state, travel, ts, system.local_window_dist,
+                by_travel_dist=c.loop_local_map_by_travel_dist,
+                time_window=c.loop_local_map_time_window,
+                sensor_pos=pos, local_map_radius=c.local_map_radius))
+
+    # ------------------------------------------------------- map context
+
+    def _local_map_context(self, lm_fid: int):
+        """Local-map points (world frame) + optionally their geo features
+        around the pose of `lm_fid` (reference: pin_slam.py:284-290,
+        model/neural_points.py:424-513)."""
+        sysm = self.system
+        pose = sysm.pgo_poses[lm_fid]
+        td = jnp.asarray(sysm.travel_dist[: sysm.max_frames], jnp.float32)
+        m = np.asarray(self._lm_mask(
+            sysm.state, td, jnp.int32(lm_fid),
+            jnp.asarray(pose[:3, 3], jnp.float32)))
+        if m.sum() < 100:                  # too few: fall back to all alive
+            m = np.arange(sysm.state.capacity) < int(sysm.state.count)
+        pts = np.asarray(sysm.state.positions[:-1])[m]
+        feats = None
+        if self.config.loop_with_feature:
+            feats = np.asarray(sysm.params["geo_features"][:-1])[m]
+        return pts, feats, pose
+
     # ------------------------------------------------------------ per-frame
 
     def after_frame(self, frame_id: int, points: np.ndarray) -> bool:
@@ -64,9 +91,25 @@ class LoopPgoManager:
         sysm = self.system
 
         valid_flag = not (sysm.lose_track or sysm.stop_status)
-        # descriptor from the current scan in the sensor frame (scan-context
-        # mode; local-map-context mode is a later round)
-        self.detector.add_node(frame_id, points[:, :3], valid_flag)
+        self._ctx_pc_global = None
+        self._ctx_features = None
+        if c.local_map_context and c.global_loop_on and \
+                frame_id >= c.local_map_context_latency:
+            # local-map context: descriptor from the neural points around
+            # the (delayed) frame, in that frame's sensor frame
+            # (reference: pin_slam.py:284-290)
+            lm_fid = frame_id - c.local_map_context_latency
+            pts_w, feats, lm_pose = self._local_map_context(lm_fid)
+            Tinv = np.linalg.inv(lm_pose)
+            pts_local = pts_w @ Tinv[:3, :3].T + Tinv[:3, 3]
+            self.detector.add_node(lm_fid, pts_local, feats, valid_flag)
+            self._ctx_pc_global = pts_w
+            self._ctx_features = feats
+        else:
+            # scan-context mode: descriptor from the current scan in the
+            # sensor frame
+            self.detector.add_node(frame_id, points[:, :3],
+                                   valid_flag=valid_flag)
 
         self.pgm.add_frame_node(frame_id, sysm.pgo_poses[frame_id])
         if frame_id == 0:
@@ -97,9 +140,13 @@ class LoopPgoManager:
             loop_id, _, loop_transform = self.detector.detect_global_loop(
                 pgo_poses,
                 self.pgm.drift_radius * c.loop_dist_drift_ratio_thre,
-                cand_mask)
+                cand_mask,
+                context_pc_global=self._ctx_pc_global,
+                context_features=self._ctx_features)
         if loop_id is None:
             return False
+        if not self.detector.valid_flags.get(int(loop_id), False):
+            return False  # loop node invalid (reference: pin_slam.py:314)
 
         if c.loop_z_check_on and abs(loop_transform[2, 3]) > \
                 c.voxel_size_m * 4.0:

@@ -39,8 +39,34 @@ def ptcloud2sc(ptcloud: np.ndarray, sc_shape, max_length: float) -> np.ndarray:
     return sc.reshape(num_ring, num_sector)
 
 
+def ptcloud2sc_feature(ptcloud: np.ndarray, features: np.ndarray,
+                       sc_shape, max_length: float) -> np.ndarray:
+    """Feature-enhanced context [R, S, D]: mean neural-point feature per
+    (ring, sector) bin (reference: utils/loop_detector.py:501-543, scatter
+    mean replaced by np.add.at + bincount)."""
+    num_ring, num_sector = sc_shape
+    pts = ptcloud[:, :3]
+    r = np.linalg.norm(pts, axis=1)
+    keep = (r < max_length) & np.isfinite(r)
+    pts, r, feats = pts[keep], r[keep], features[keep]
+    gap_ring = max_length / num_ring
+    gap_sector = 360.0 / num_sector
+    theta = np.degrees(np.arctan2(pts[:, 1], pts[:, 0])) + 180.0
+    idx_ring = np.clip((r // gap_ring).astype(np.int64), 0, num_ring - 1)
+    idx_sector = np.clip((theta // gap_sector).astype(np.int64), 0,
+                         num_sector - 1)
+    flat = idx_ring * num_sector + idx_sector
+    d = feats.shape[1]
+    acc = np.zeros((num_ring * num_sector, d), feats.dtype)
+    np.add.at(acc, flat, feats)
+    cnt = np.bincount(flat, minlength=num_ring * num_sector)[:, None]
+    acc = acc / np.maximum(cnt, 1)
+    return acc.reshape(num_ring, num_sector, d)
+
+
 def sc2rk(sc: np.ndarray) -> np.ndarray:
-    """Ring key = sector mean per ring (reference :548)."""
+    """Ring key = sector mean per ring (reference :548). Works for both
+    max-z contexts [R,S] -> [R] and feature contexts [R,S,D] -> [R,D]."""
     return sc.mean(axis=1)
 
 
@@ -54,6 +80,23 @@ def distance_sc(sc1: np.ndarray, sc2: np.ndarray) -> Tuple[float, int]:
     num = (shifted * sc2[None]).sum(axis=1)                 # [S, S] col dots
     den = (np.linalg.norm(shifted, axis=1)
            * np.linalg.norm(sc2, axis=0)[None] + 1e-12)
+    cossim = (num / den).mean(axis=1)                       # [S]
+    best = int(np.argmax(cossim))
+    return float(1.0 - cossim[best]), best + 1
+
+
+def distance_sc_feature(sc1: np.ndarray, sc2: np.ndarray) -> Tuple[float, int]:
+    """Feature-context distance: min over sector shifts of (1 - mean cosine
+    similarity along the ring axis of the [R, S*D] flattened descriptors)
+    (reference: utils/loop_detector.py:580-606), vectorized over shifts."""
+    num_ring, num_sector, d = sc1.shape
+    shifted = np.stack(
+        [np.roll(sc1, s + 1, axis=1) for s in range(num_sector)])  # [S,R,S,D]
+    shifted = shifted.reshape(num_sector, num_ring, num_sector * d)
+    flat2 = sc2.reshape(num_ring, num_sector * d)
+    num = (shifted * flat2[None]).sum(axis=1)               # [S, S*D]
+    den = (np.linalg.norm(shifted, axis=1)
+           * np.linalg.norm(flat2, axis=0)[None] + 1e-12)
     cossim = (num / den).mean(axis=1)                       # [S]
     best = int(np.argmax(cossim))
     return float(1.0 - cossim[best]), best + 1
@@ -89,8 +132,9 @@ def detect_local_loop(
 
 class ScanContextManager:
     """Descriptor store + retrieval (reference class at
-    utils/loop_detector.py:18-372; feature-context variant tracked for a
-    later round)."""
+    utils/loop_detector.py:18-372). Supports the plain max-z scan/map
+    context and the feature-enhanced map context (`loop_with_feature`:
+    mean neural-point feature per bin, cosine ring-key retrieval)."""
 
     def __init__(self, config):
         self.config = config
@@ -99,32 +143,50 @@ class ScanContextManager:
         self.max_length = config.npmc_max_dist
         self.ringkey_dist_thre = 0.25 * self.max_length
         self.sc_cosdist_threshold = config.context_cosdist_threshold
+        # looser acceptance for map contexts, tighter ring-key gate for
+        # feature mode (reference: utils/loop_detector.py:31-36)
+        if getattr(config, "local_map_context", False):
+            self.sc_cosdist_threshold += 0.08
+            if getattr(config, "loop_with_feature", False):
+                self.sc_cosdist_threshold += 0.08
+                self.ringkey_dist_thre = 0.25  # cosine distance
         self.virtual_side_count = config.context_virtual_side_count
         self.virtual_step_m = config.context_virtual_step_m
 
         self.contexts: Dict[int, np.ndarray] = {}
         self.ringkeys: Dict[int, np.ndarray] = {}
+        self.contexts_feature: Dict[int, np.ndarray] = {}
+        self.ringkeys_feature: Dict[int, np.ndarray] = {}
         self.valid_flags: Dict[int, bool] = {}
         self.curr_node_idx = -1
         self.query_contexts: List[np.ndarray] = []
         self.tran_from_frame: List[np.ndarray] = []
 
     def add_node(self, frame_id: int, ptcloud: np.ndarray,
+                 features: Optional[np.ndarray] = None,
                  valid_flag: bool = True):
-        """(reference :59-82) — ptcloud in the (virtual) sensor frame."""
+        """(reference :59-82) — ptcloud in the (virtual) sensor frame;
+        `features` [N, D] switches on the feature-context descriptor."""
         sc = ptcloud2sc(ptcloud, self.des_shape, self.max_length)
         self.curr_node_idx = frame_id
         self.contexts[frame_id] = sc
         self.ringkeys[frame_id] = sc2rk(sc)
+        if features is not None:
+            scf = ptcloud2sc_feature(ptcloud, features, self.des_shape,
+                                     self.max_length)
+            self.contexts_feature[frame_id] = scf
+            self.ringkeys_feature[frame_id] = sc2rk(scf)
         self.valid_flags[frame_id] = valid_flag
         self.query_contexts = []
         self.tran_from_frame = []
 
     def set_virtual_nodes(self, ptcloud_global: np.ndarray,
                           frame_pose: np.ndarray,
-                          last_frame_pose: Optional[np.ndarray]):
+                          last_frame_pose: Optional[np.ndarray],
+                          features: Optional[np.ndarray] = None):
         """Augment laterally shifted virtual sensor positions
         (reference :84-155)."""
+        use_feature = features is not None
         if last_frame_pose is not None:
             d = frame_pose[:3, 3] - last_frame_pose[:3, 3]
             n = np.linalg.norm(d)
@@ -136,12 +198,17 @@ class ScanContextManager:
             tran = np.eye(4)
             tran[:3, 3] = lat * (k * self.virtual_step_m)
             if k == 0:
-                sc = self.contexts[self.curr_node_idx]
+                sc = (self.contexts_feature if use_feature
+                      else self.contexts)[self.curr_node_idx]
             else:
                 virtual_pose = frame_pose @ np.linalg.inv(tran)
                 local = (ptcloud_global - virtual_pose[:3, 3]) \
                     @ virtual_pose[:3, :3]
-                sc = ptcloud2sc(local, self.des_shape, self.max_length)
+                if use_feature:
+                    sc = ptcloud2sc_feature(local, features, self.des_shape,
+                                            self.max_length)
+                else:
+                    sc = ptcloud2sc(local, self.des_shape, self.max_length)
             self.query_contexts.append(sc)
             self.tran_from_frame.append(tran)
 
@@ -149,14 +216,19 @@ class ScanContextManager:
         self, cur_pgo_poses: np.ndarray, dist_thre: float,
         loop_candidate_mask: np.ndarray,
         context_pc_global: Optional[np.ndarray] = None,
+        context_features: Optional[np.ndarray] = None,
     ):
         """(reference :158-229). context_pc_global (world frame) enables the
-        virtual-node augmentation; None falls back to the plain context."""
+        virtual-node augmentation; None falls back to the plain context.
+        context_features switches retrieval to the feature descriptors."""
         cur = self.curr_node_idx
+        use_feature = context_features is not None
         dist_to_past = np.linalg.norm(
             cur_pgo_poses[:, :3, 3] - cur_pgo_poses[cur, :3, 3], axis=1)
         cand = np.where(loop_candidate_mask & (dist_to_past < dist_thre))[0]
-        cand = np.array([i for i in cand if self.valid_flags.get(i, False)],
+        store = self.contexts_feature if use_feature else self.contexts
+        cand = np.array([i for i in cand
+                         if self.valid_flags.get(i, False) and i in store],
                         np.int64)
         if cand.shape[0] == 0:
             return None, None, None
@@ -164,23 +236,44 @@ class ScanContextManager:
         if context_pc_global is not None:
             last_pose = cur_pgo_poses[cur - 1] if cur > 0 else None
             self.set_virtual_nodes(
-                context_pc_global, cur_pgo_poses[cur], last_pose)
-        return self.detect_loop(cand)
+                context_pc_global, cur_pgo_poses[cur], last_pose,
+                features=context_features)
+        loop_id, cosdist, T = self.detect_loop(cand, use_feature=use_feature)
+        if loop_id is not None and cur != len(cur_pgo_poses) - 1:
+            # descriptor node lags the current frame (map-context latency):
+            # chain T_l<-c' = T_l<-c @ T_c<-w @ T_w<-c'
+            # (reference: utils/loop_detector.py:207-213)
+            T = T @ np.linalg.inv(cur_pgo_poses[cur]) @ cur_pgo_poses[-1]
+        return loop_id, cosdist, T
 
-    def detect_loop(self, candidate_idx: np.ndarray):
-        """(reference :231-347)"""
+    def detect_loop(self, candidate_idx: np.ndarray,
+                    use_feature: bool = False):
+        """(reference :231-347). Feature mode retrieves by cosine distance
+        of flattened [R*D] feature ring keys (reference :240-277)."""
         if candidate_idx.shape[0] == 0:
             return None, None, None
-        rk_hist = np.stack([self.ringkeys[i] for i in candidate_idx])
+        if use_feature:
+            rk_hist = np.stack([
+                self.ringkeys_feature[i].reshape(-1)
+                for i in candidate_idx])                     # [H, R*D]
+        else:
+            rk_hist = np.stack([self.ringkeys[i] for i in candidate_idx])
 
         if not self.query_contexts:
-            self.query_contexts = [self.contexts[self.curr_node_idx]]
+            self.query_contexts = [
+                (self.contexts_feature if use_feature
+                 else self.contexts)[self.curr_node_idx]]
             self.tran_from_frame = [np.eye(4)]
 
         min_dist, min_loop_idx, min_query = 1e5, None, 0
         for qi, qc in enumerate(self.query_contexts):
-            qrk = sc2rk(qc)
-            d = np.abs(qrk[None] - rk_hist).sum(axis=1)     # L1 ring key
+            qrk = sc2rk(qc).reshape(-1)
+            if use_feature:
+                den = (np.linalg.norm(rk_hist, axis=1)
+                       * np.linalg.norm(qrk) + 1e-12)
+                d = 1.0 - (rk_hist @ qrk) / den             # cosine dist
+            else:
+                d = np.abs(qrk[None] - rk_hist).sum(axis=1)  # L1 ring key
             j = int(np.argmin(d))
             if d[j] < min_dist:
                 min_dist = float(d[j])
@@ -189,8 +282,13 @@ class ScanContextManager:
         if min_loop_idx is None or min_dist > self.ringkey_dist_thre:
             return None, None, None
 
-        cosdist, yaw_diff = distance_sc(
-            self.contexts[min_loop_idx], self.query_contexts[min_query])
+        if use_feature:
+            cosdist, yaw_diff = distance_sc_feature(
+                self.contexts_feature[min_loop_idx],
+                self.query_contexts[min_query])
+        else:
+            cosdist, yaw_diff = distance_sc(
+                self.contexts[min_loop_idx], self.query_contexts[min_query])
         if cosdist >= self.sc_cosdist_threshold:
             return None, None, None
 
@@ -207,6 +305,16 @@ class ScanContextManager:
         return min_loop_idx, cosdist, T
 
     def save_context_dict(self, path: str, poses: np.ndarray):
+        extra = {}
+        if self.contexts_feature:
+            fk = sorted(self.contexts_feature)
+            extra = {
+                "feat_idx": np.array(fk),
+                "contexts_feature": np.stack(
+                    [self.contexts_feature[k] for k in fk]),
+                "ringkeys_feature": np.stack(
+                    [self.ringkeys_feature[k] for k in fk]),
+            }
         np.savez_compressed(
             path,
             idx=np.array(sorted(self.contexts.keys())),
@@ -214,7 +322,7 @@ class ScanContextManager:
                                for k in sorted(self.contexts)]),
             ringkeys=np.stack([self.ringkeys[k]
                                for k in sorted(self.ringkeys)]),
-            poses=poses)
+            poses=poses, **extra)
 
     def load_context_dict(self, path: str) -> np.ndarray:
         z = np.load(path)
@@ -222,4 +330,8 @@ class ScanContextManager:
             self.contexts[int(k)] = z["contexts"][i]
             self.ringkeys[int(k)] = z["ringkeys"][i]
             self.valid_flags[int(k)] = True
+        if "feat_idx" in z.files:
+            for i, k in enumerate(z["feat_idx"]):
+                self.contexts_feature[int(k)] = z["contexts_feature"][i]
+                self.ringkeys_feature[int(k)] = z["ringkeys_feature"][i]
         return z["poses"]

@@ -71,6 +71,11 @@ def init_pool(
     )
 
 
+def append_start(pool: PoolState, block_size: int):
+    """Row where `append_samples` will place a block of `block_size`."""
+    return jnp.maximum(jnp.minimum(pool.count, pool.capacity - block_size), 0)
+
+
 def append_samples(
     pool: PoolState,
     coord: jnp.ndarray,       # [S, 3] world frame
@@ -81,26 +86,40 @@ def append_samples(
     sem_label: Optional[jnp.ndarray] = None,
     color_label: Optional[jnp.ndarray] = None,
 ) -> PoolState:
-    """Masked append at the running offset (reference: utils/mapper.py:275-293).
-    Overflowing samples are dropped (the window filter keeps the pool below
-    capacity in steady state)."""
+    """Append this frame's samples as one contiguous block
+    (reference: utils/mapper.py:275-293).
+
+    A TPU-scatter of S=450k rows costs ~60 ms; a dynamic_update_slice of the
+    same block is ~1 ms, so the samples are written as-is and masked-out rows
+    are DEAD ROWS carried with weight=0 (mapping_loss drops weight==0 rows
+    from the batch). Rows past the last valid sample are not counted. Near
+    capacity the write start is clamped, overwriting the oldest tail instead
+    of dropping the new frame (filter_pool evicts before this point in
+    normal operation)."""
     P = pool.capacity
-    order = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    slots = pool.count + order
-    ok = mask & (slots < P)
-    dest = jnp.where(ok, slots, P).astype(jnp.int32)
-    tsv = jnp.broadcast_to(jnp.int32(cur_ts), dest.shape)
+    S = coord.shape[0]
+    idxs = jnp.arange(S, dtype=jnp.int32)
+    n_rows = jnp.max(jnp.where(mask, idxs + 1, 0))
+    start = jnp.maximum(jnp.minimum(pool.count, P - S), 0)
+    tsv = jnp.full((S,), jnp.int32(cur_ts))
+    wts = jnp.where(mask, weight, 0.0)
+
+    def dus(arr, block):
+        starts = (start,) + (0,) * (arr.ndim - 1)
+        return jax.lax.dynamic_update_slice(arr, block, starts)
+
     return pool.replace(
-        coord=pool.coord.at[dest].set(coord),
-        sdf_label=pool.sdf_label.at[dest].set(sdf_label),
-        weight=pool.weight.at[dest].set(weight),
-        ts=pool.ts.at[dest].set(tsv),
+        coord=dus(pool.coord, coord),
+        sdf_label=dus(pool.sdf_label, sdf_label),
+        weight=dus(pool.weight, wts),
+        ts=dus(pool.ts, tsv),
         sem_label=(pool.sem_label if sem_label is None or pool.sem_label is None
-                   else pool.sem_label.at[dest].set(sem_label)),
+                   else dus(pool.sem_label, sem_label.astype(jnp.int32))),
         color_label=(pool.color_label
                      if color_label is None or pool.color_label is None
-                     else pool.color_label.at[dest].set(color_label)),
-        count=pool.count + jnp.sum(ok.astype(jnp.int32)),
+                     else dus(pool.color_label, color_label)),
+        count=jnp.where(n_rows > 0, jnp.minimum(start + n_rows, P),
+                        pool.count),
     )
 
 
@@ -255,7 +274,9 @@ def mapping_loss(
     sdf_label = pool.sdf_label[bidx.idx]
     weight = jnp.abs(pool.weight[bidx.idx])
     ts = pool.ts[bidx.idx]
-    mask = bidx.mask
+    # weight==0 marks dead rows (masked-out samples stored by the
+    # block-append fast path) — drop them from the batch
+    mask = bidx.mask & (weight > 0.0)
 
     out = mq.query_decode(
         state, params["geo_features"], params["geo_mlp"], coord, qp,

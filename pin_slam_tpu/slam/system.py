@@ -285,7 +285,7 @@ class PinSLAMSystem:
                 resolution=c.voxel_size_m, local_window_dist=lwd,
                 force_all_new=force_all_new)
 
-            frame_start = pool.count
+            frame_start = mp.append_start(pool, world.shape[0])
             pool = mp.append_samples(
                 pool, world, smp.sdf_label, smp.weight, smp.mask, cur_ts,
                 sem_label=smp.sem_label, color_label=smp.color_label)

@@ -179,3 +179,179 @@ class TestPoseGraph:
         w = np.array([0.3, -0.2, 0.5])
         R = _so3_exp(w)
         np.testing.assert_allclose(so3_log_batch(R[None])[0], w, atol=1e-6)
+
+
+class TestFeatureContext:
+    """Feature-enhanced map context (reference: utils/loop_detector.py
+    feature mode: mean neural-point feature per bin, cosine retrieval)."""
+
+    def _make(self, loop_with_feature=True):
+        cfg = Config()
+        cfg.local_map_context = True
+        cfg.loop_with_feature = loop_with_feature
+        cfg.npmc_max_dist = 60.0
+        return ScanContextManager(cfg)
+
+    def test_feature_descriptor_shapes(self, scans):
+        from pin_slam_tpu.slam.loop_detector import ptcloud2sc_feature
+        rng = np.random.RandomState(0)
+        feats = rng.randn(len(scans["a"]), 8).astype(np.float32)
+        scf = ptcloud2sc_feature(scans["a"], feats, (20, 60), 60.0)
+        assert scf.shape == (20, 60, 8)
+        assert np.isfinite(scf).all()
+
+    def test_feature_rotation_invariant_retrieval(self, scans):
+        from pin_slam_tpu.slam.loop_detector import (
+            ptcloud2sc_feature, distance_sc_feature, sc2rk)
+        rng = np.random.RandomState(1)
+        W = rng.randn(2, 8)
+
+        # features keyed on WORLD position (like neural point features),
+        # so a sensor yaw only permutes sectors
+        def world_feats(pc, yaw, t):
+            c, s = np.cos(yaw), np.sin(yaw)
+            R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+            w = pc[:, :3] @ R.T + t
+            return np.tanh(w[:, :2] @ W).astype(np.float32)
+
+        sc1 = ptcloud2sc_feature(
+            scans["a"], world_feats(scans["a"], 0.0, [6, 0, 0]),
+            (20, 60), 60.0)
+        sc2 = ptcloud2sc_feature(
+            scans["a_rot"],
+            world_feats(scans["a_rot"], np.radians(60), [6, 0, 0]),
+            (20, 60), 60.0)
+        dist, yaw = distance_sc_feature(sc1, sc2)
+        assert dist < 0.25
+        # ring keys similar (rotation invariance of ring mean)
+        rk1, rk2 = sc2rk(sc1).reshape(-1), sc2rk(sc2).reshape(-1)
+        cos = rk1 @ rk2 / (np.linalg.norm(rk1) * np.linalg.norm(rk2))
+        assert cos > 0.9
+
+    def test_manager_feature_mode_retrieval(self, scans):
+        mgr = self._make()
+        assert mgr.ringkey_dist_thre == 0.25  # cosine threshold in use
+        rng = np.random.RandomState(2)
+        W = rng.randn(2, 8)
+
+        def world_feats(pc, yaw, t):
+            c, s = np.cos(yaw), np.sin(yaw)
+            R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+            w = pc[:, :3] @ R.T + t
+            return np.tanh(w[:, :2] @ W).astype(np.float32)
+
+        yaws = {"a": 0.0, "b": 0.0, "a_rot": np.radians(60)}
+        poses = np.stack([np.eye(4)] * 6)
+        for fid, k in enumerate(["a", "b", "b", "b", "b", "a_rot"]):
+            t = [6, 0, 0] if "a" in k else [-8, -5, 0]
+            poses[fid, :3, 3] = t
+            mgr.add_node(fid, scans[k], world_feats(scans[k], yaws[k], t))
+        cand = np.zeros(6, bool)
+        cand[:2] = True
+        loop_id, cosdist, T = mgr.detect_global_loop(
+            poses, 1e5, cand,
+            context_pc_global=None,
+            context_features=world_feats(
+                scans["a_rot"], yaws["a_rot"], [6, 0, 0]))
+        assert loop_id == 0           # revisit of place "a"
+        yaw = np.degrees(np.arctan2(T[0, 1], T[0, 0]))
+        assert abs(abs(yaw) - 60.0) < 12.0
+
+    def test_save_load_with_features(self, scans, tmp_path):
+        mgr = self._make()
+        feats = np.random.RandomState(3).randn(
+            len(scans["a"]), 8).astype(np.float32)
+        mgr.add_node(0, scans["a"], feats)
+        p = str(tmp_path / "ctx.npz")
+        mgr.save_context_dict(p, np.stack([np.eye(4)]))
+        mgr2 = self._make()
+        mgr2.load_context_dict(p)
+        assert 0 in mgr2.contexts_feature
+        np.testing.assert_allclose(mgr2.ringkeys_feature[0],
+                                   mgr.ringkeys_feature[0])
+
+
+class TestLocalMapMask:
+    def test_mask_criteria(self):
+        import jax.numpy as jnp
+        from pin_slam_tpu.models import neural_points as npm
+        state = npm.init_map_state(1 << 10, 1 << 14, 8, False)
+        pts = np.zeros((100, 3), np.float32)
+        pts[:, 0] = np.linspace(0, 99, 100)
+        state = state.replace(
+            positions=state.positions.at[:100].set(jnp.asarray(pts)),
+            ts_create=state.ts_create.at[:100].set(
+                jnp.asarray(np.arange(100), jnp.int32) // 10),
+            count=jnp.int32(100))
+        travel = jnp.asarray(np.arange(16, dtype=np.float32) * 5.0)
+        m = np.asarray(npm.local_map_mask(
+            state, travel, 9, 20.0,
+            sensor_pos=jnp.zeros(3), local_map_radius=50.0))
+        # travel window: |travel[9]-travel[ts]| < 20 -> ts >= 6 (rows 60+)
+        # radius: x < 50 -> rows < 50 ... disjoint, so nothing survives both
+        assert m.sum() == 0
+        m2 = np.asarray(npm.local_map_mask(
+            state, travel, 2, 20.0,
+            sensor_pos=jnp.zeros(3), local_map_radius=50.0))
+        # ts window: ts in (travel diff < 20) -> ts <= 5 (rows < 60);
+        # radius keeps rows < 50
+        assert m2.sum() == 50
+        m3 = np.asarray(npm.local_map_mask(
+            state, travel, 2, 20.0, by_travel_dist=False, time_window=3,
+            sensor_pos=None))
+        # |2 - ts| < 3 -> ts in {0..4} -> rows 0..49
+        assert m3.sum() == 50
+
+
+@pytest.mark.slow
+def test_local_map_feature_context_integration():
+    """8-frame run with local_map_context + loop_with_feature on: the
+    descriptor path builds feature contexts from the live neural-point map
+    (reference: pin_slam.py:284-292) without error."""
+    import jax
+    from pin_slam_tpu.dataset.synthetic import circle_trajectory
+    from pin_slam_tpu.slam.system import PinSLAMSystem
+    from pin_slam_tpu.slam.loop import LoopPgoManager
+
+    cfg = Config()
+    cfg.track_on = True
+    cfg.pgo_on = True
+    cfg.global_loop_on = True
+    cfg.local_map_context = True
+    cfg.loop_with_feature = True
+    cfg.local_map_context_latency = 2
+    cfg.max_range = 60.0
+    cfg.vox_down_m = 0.12
+    cfg.source_vox_down_m = 0.6
+    cfg.voxel_size_m = 0.3
+    cfg.bs = 2048
+    cfg.iters = 4
+    cfg.init_iter_ratio = 4
+    cfg.reg_iter_n = 12
+    cfg.map_capacity = 1 << 16
+    cfg.buffer_size = 1 << 18
+    cfg.frame_point_cap = 1 << 12
+    cfg.source_point_cap = 1 << 10
+    cfg.max_frames = 32
+    cfg.finalize()
+    cfg.pool_capacity = 200_000
+
+    seq = SyntheticSequence(
+        scene_sdf=default_scene(),
+        poses=circle_trajectory(8, radius=5.0, revolutions=0.03,
+                                ease_in_frames=3),
+        dirs=lidar_directions(128, 12), max_range=60.0)
+    system = PinSLAMSystem(cfg)
+    system.set_gt_poses(seq.poses)
+    mgr = LoopPgoManager(cfg, system)
+    for fid in range(len(seq)):
+        pts = seq.frame(fid)
+        system.process_frame(fid, pts,
+                             loop_hook=lambda f: mgr.after_frame(
+                                 f, seq.frame(f)))
+    # nodes exist for the lagged frames, with feature contexts
+    assert (len(seq) - 1 - cfg.local_map_context_latency) \
+        in mgr.detector.contexts_feature
+    for k, v in mgr.detector.contexts_feature.items():
+        assert v.shape == (20, 60, cfg.feature_dim)
+        assert np.isfinite(v).all()

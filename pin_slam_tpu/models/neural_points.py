@@ -187,9 +187,14 @@ def insert_points(
     is_new = vmask & (~exist_valid | collide)
     if use_reobs_rule:
         # re-add when the occupant was last updated too long (in travel
-        # distance) ago (reference :347-356)
-        delta_td = travel_dist[cur_ts] - travel_dist[state.ts_update[existing_c]]
-        is_new = is_new | (vmask & exist_valid & (delta_td > local_window_dist))
+        # distance) ago (reference :347-356); threshold form avoids a
+        # per-candidate travel_dist gather (see _travel_window_ts_lo)
+        t = jnp.arange(travel_dist.shape[0])
+        ts_lo = jnp.sum(((travel_dist < travel_dist[cur_ts]
+                          - local_window_dist) & (t <= cur_ts))
+                        .astype(jnp.int32))
+        is_new = is_new | (vmask & exist_valid
+                           & (state.ts_update[existing_c] < ts_lo))
     is_new = jnp.where(force_all_new, vmask, is_new)
 
     sampled = jnp.maximum(jnp.sum(vmask.astype(jnp.int32)), 1)
@@ -268,6 +273,17 @@ def insert_points(
 # ---------------------------------------------------------------------------
 
 
+def _travel_window_ts_lo(travel_dist: jnp.ndarray, cur_ts,
+                         window: float) -> jnp.ndarray:
+    """Smallest timestamp still inside the travel-dist window:
+    ts valid  <=>  travel[cur] - travel[ts] < window  <=>  ts >= ts_lo,
+    valid because travel_dist is a nondecreasing cumsum on [0, cur_ts] and
+    map timestamps never exceed cur_ts."""
+    t = jnp.arange(travel_dist.shape[0])
+    below = (travel_dist <= travel_dist[cur_ts] - window) & (t <= cur_ts)
+    return jnp.sum(below.astype(jnp.int32))
+
+
 def query_neighbors(
     state: MapState,
     qpts: jnp.ndarray,          # [N, 3]
@@ -303,9 +319,12 @@ def query_neighbors(
 
     if time_filter:
         tsc = rec[..., 4].astype(jnp.int32)
-        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[
-            jnp.where(valid, tsc, 0)])
-        valid = valid & (dtd < local_window_dist) & (tsc >= reboot_ts)
+        # |travel[cur] - travel[ts]| < w with ts <= cur and travel monotone
+        # on [0, cur] reduces to a timestamp threshold — computed once here
+        # instead of a per-probe travel_dist gather (a [N*K]-row gather from
+        # a tiny array costs as much as the main record gather on TPU)
+        ts_lo = _travel_window_ts_lo(travel_dist, cur_ts, local_window_dist)
+        valid = valid & (tsc >= ts_lo) & (tsc >= reboot_ts)
     if radius_filter and sensor_pos is not None:
         d2s = jnp.sum((pos - sensor_pos[None, None, :]) ** 2, axis=-1)
         valid = valid & (d2s < local_map_radius * local_map_radius)
@@ -347,9 +366,9 @@ def local_map_mask(
     alive = rows < state.count
     tsc = state.ts_create[:C]
     if by_travel_dist:
-        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[
-            jnp.clip(tsc, 0, travel_dist.shape[0] - 1)])
-        m = alive & (dtd < local_window_dist)
+        ts_lo = _travel_window_ts_lo(travel_dist, cur_ts,
+                                     local_window_dist)
+        m = alive & (tsc >= ts_lo)
     else:
         m = alive & (jnp.abs(cur_ts - tsc) < time_window)
     m = m & (tsc >= reboot_ts)
@@ -473,8 +492,11 @@ def prune_map(
     if global_prune:
         prune = low_cert
     else:
-        dtd = jnp.abs(travel_dist[cur_ts] - travel_dist[state.ts_update])
-        prune = low_cert & (dtd > local_window_dist)
+        t = jnp.arange(travel_dist.shape[0])
+        ts_lo = jnp.sum(((travel_dist < travel_dist[cur_ts]
+                          - local_window_dist) & (t <= cur_ts))
+                        .astype(jnp.int32))
+        prune = low_cert & (state.ts_update < ts_lo)
     prune = prune & row_valid
     keep = row_valid & ~prune
     return _compact(state, keep), jnp.sum(prune.astype(jnp.int32))

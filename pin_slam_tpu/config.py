@@ -295,6 +295,9 @@ class Config:
     source_point_cap: int = 1 << 13
     # maximum number of frames of a run (for travel-dist arrays)
     max_frames: int = 1 << 14
+    # kNN probe layout: 'auto' picks 'brick' on TPU (8 wide brick gathers)
+    # and 'cells' elsewhere (33 narrow gathers; cheaper off-TPU)
+    probe_mode: str = "auto"
     # bucket rounding for padded host->device transfers
     pad_bucket: int = 1 << 12
 
@@ -567,5 +570,6 @@ class Config:
                 tp.get("source_point_cap", self.source_point_cap))
             self.max_frames = int(tp.get("max_frames", self.max_frames))
             self.buffer_size = int(tp.get("hash_table_size", self.buffer_size))
+            self.probe_mode = tp.get("probe_mode", self.probe_mode)
 
         return self.finalize()

@@ -58,11 +58,15 @@ class MapState:
     certainty: jnp.ndarray       # [C+1] f32
     count: jnp.ndarray           # [] i32 number of valid points
     table: jnp.ndarray           # [B+1] i32 hash table (-1 empty); row B = dump
-    # query cache: fused per-cell record [B+1, 4] f32 =
-    # (bitcast(point idx), x, y, z) — ONE 16-byte gather per probed cell
-    # instead of a table gather followed by a dependent position gather
-    # (random gathers are transaction-bound on TPU; this halves them).
-    table_rec: jnp.ndarray
+    # Probe cache: 4x4x4-cell BRICKS hashed by brick coordinate.
+    # btable[int32, Bb+1, 64, 3] holds per cell slot (idx, ts_create,
+    # packed 3xu8 cell-local position). TPU random-gather cost is per ROW
+    # (~73M rows/s, independent of row width or locality — measured), so one
+    # 768-byte brick row delivers 64 cells for the price the per-cell layout
+    # paid for one: a kNN probe is 8 brick gathers instead of 33 cell
+    # gathers. Candidates are re-restricted to the reference's 33-cell ball
+    # at query time, keeping exact search semantics.
+    btable: jnp.ndarray
 
     @property
     def capacity(self) -> int:
@@ -102,46 +106,80 @@ def init_map_state(
         certainty=jnp.zeros((c1,), dtype),
         count=jnp.zeros((), jnp.int32),
         table=jnp.full((table_size + 1,), -1, jnp.int32),
-        table_rec=_empty_table_rec(table_size),
+        btable=_empty_btable(_brick_count(table_size)),
     )
 
 
-REC_W = 8  # record: [idx+2 as float, x, y, z, ts_create, pad, pad, pad]
-# NOTE: the index is stored as float(idx + 2), exact up to 2^24 — NOT a
-# bitcast: small int32 bit patterns are f32 denormals, which the TPU flushes
-# to zero in transit (observed: every neighbor index collapsed to 0).
-_IDX_BIAS = 2.0
+# Brick layout. Integer storage throughout — an earlier float cache had to
+# bias indices because small int32 bit patterns are f32 denormals that the
+# TPU flushes to zero in transit.
+BRICK_EDGE = 4                   # cells per brick edge
+CELLS_PER_BRICK = BRICK_EDGE ** 3
+_BRICK_FIELDS = 3                # idx, ts_create, packed local position
+# brick-corner offsets covering any 5-cell span (the 33-cell ball)
+_BRICK_NEI = np.stack(np.meshgrid([0, 1], [0, 1], [0, 1],
+                                  indexing="ij"), -1).reshape(8, 3)
+_SLOT_XYZ = np.stack(np.meshgrid(np.arange(4), np.arange(4), np.arange(4),
+                                 indexing="ij"), -1).reshape(64, 3)
+# flat slot id consistent with _SLOT_XYZ ordering (x-major meshgrid 'ij')
+_SLOT_OF = _SLOT_XYZ[:, 0] * 16 + _SLOT_XYZ[:, 1] * 4 + _SLOT_XYZ[:, 2]
+assert (_SLOT_OF == np.arange(64)).all()
 
 
-def _empty_table_rec(table_size: int) -> jnp.ndarray:
-    rec = jnp.zeros((table_size + 1, REC_W), jnp.float32)
-    return rec.at[:, 0].set(-1.0 + _IDX_BIAS)
+def _brick_count(table_size: int) -> int:
+    """Brick rows for a given per-cell table size (4x cell capacity)."""
+    return max(table_size >> 4, 1 << 10)
 
 
-def _rec_to_idx(rec0: jnp.ndarray) -> jnp.ndarray:
-    return (rec0 - _IDX_BIAS).astype(jnp.int32)
+def _empty_btable(n_bricks: int) -> jnp.ndarray:
+    return jnp.full((n_bricks + 1, CELLS_PER_BRICK, _BRICK_FIELDS), -1,
+                    jnp.int32)
 
 
-def _pack_rec(idx: jnp.ndarray, pos: jnp.ndarray,
-              ts: jnp.ndarray) -> jnp.ndarray:
-    """[M] i32 + [M,3] f32 + [M] i32 -> [M, REC_W] f32 records."""
-    z = jnp.zeros(idx.shape + (3,), jnp.float32)
-    return jnp.concatenate(
-        [(idx.astype(jnp.float32) + _IDX_BIAS)[..., None], pos,
-         ts.astype(jnp.float32)[..., None], z], axis=-1)
+def _pack_local(pos: jnp.ndarray, grid: jnp.ndarray,
+                resolution: float) -> jnp.ndarray:
+    """Quantize cell-local position to 3xu8 in one i32 (~res/256 ≈ mm
+    precision — used only to RANK neighbor candidates; consumers recompute
+    exact distances from `positions`)."""
+    frac = pos / resolution - grid.astype(jnp.float32)
+    q = jnp.clip((frac * 256.0).astype(jnp.int32), 0, 255)
+    return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
 
 
-def rebuild_table_rec(state: "MapState") -> "MapState":
-    """Recompute the fused cell records from (table, positions, ts_create) —
+def _brick_write(btable: jnp.ndarray, grid: jnp.ndarray, idx: jnp.ndarray,
+                 ts: jnp.ndarray, pos: jnp.ndarray, resolution: float,
+                 write_mask: jnp.ndarray) -> jnp.ndarray:
+    """Scatter (idx, ts, packed pos) records into brick slots; masked rows
+    land in the dump brick."""
+    n_bricks = btable.shape[0] - 1
+    bc = grid >> 2
+    hb = hash3d.hash_grid(bc, n_bricks)
+    hb = jnp.where(write_mask, hb, n_bricks)
+    slot = ((grid[..., 0] & 3) * 16 + (grid[..., 1] & 3) * 4
+            + (grid[..., 2] & 3))
+    rec = jnp.stack(
+        [idx, ts, _pack_local(pos, grid, resolution)], axis=-1)
+    btable = btable.at[hb, slot].set(rec)
+    return btable.at[n_bricks].set(-1)
+
+
+def rebuild_probe_cache(state: "MapState", resolution: float) -> "MapState":
+    """Recompute the brick cache from (table, positions, ts_create) —
     required after any operation that moves points or rewrites the table
-    wholesale (deform, rehash, prune)."""
-    B = state.table_size
+    wholesale (deform, rehash, prune). Only per-cell winners (the points the
+    cell table points at) are written, keeping btable consistent with
+    `table`."""
     C = state.capacity
-    idx = state.table
-    safe = jnp.where(idx >= 0, idx, C)
-    rec = _pack_rec(idx, state.positions[safe], state.ts_create[safe])
-    rec = rec.at[B].set(_empty_table_rec(0)[0])
-    return state.replace(table_rec=rec)
+    B = state.table_size
+    rows = jnp.arange(C + 1, dtype=jnp.int32)
+    alive = rows < state.count
+    grid = hash3d.grid_coords(state.positions, resolution)
+    h = hash3d.hash_grid(grid, B)
+    is_winner = alive & (state.table[h] == rows)
+    btable = _empty_btable(state.btable.shape[0] - 1)
+    return state.replace(btable=_brick_write(
+        btable, grid, rows, state.ts_create, state.positions, resolution,
+        is_winner))
 
 
 # ---------------------------------------------------------------------------
@@ -246,10 +284,10 @@ def insert_points(
     h_eff = jnp.where(room, h[ci], B)
     table = state.table.at[h_eff].set(jnp.where(room, dest, -1))
     table = table.at[B].set(-1)                 # keep dump row clean
-    table_rec = state.table_rec.at[h_eff].set(
-        _pack_rec(dest, cpts, jnp.broadcast_to(jnp.int32(cur_ts),
-                                               dest.shape)))
-    table_rec = table_rec.at[B].set(_empty_table_rec(0)[0])
+    btable = _brick_write(
+        state.btable, grid[ci], dest,
+        jnp.broadcast_to(jnp.int32(cur_ts), dest.shape), cpts,
+        resolution, room)
 
     new_state = state.replace(
         positions=positions,
@@ -261,7 +299,7 @@ def insert_points(
         certainty=certainty,
         count=state.count + new_count,
         table=table,
-        table_rec=table_rec,
+        btable=btable,
     )
     return new_state, new_ratio
 
@@ -300,7 +338,111 @@ def query_neighbors(
     sensor_pos: Optional[jnp.ndarray] = None,
     local_map_radius: float = 0.0,
     reboot_ts=0,
+    probe_mode: str = "brick",  # 'brick' (TPU: 8 wide gathers) or 'cells'
+                                # (CPU: 33 narrow gather chains — the 512-
+                                # candidate scoring that is free on the TPU
+                                # VPU dominates on CPU)
 ) -> QueryNeighbors:
+    if probe_mode == "cells":
+        return _query_neighbors_cells(
+            state, qpts, offsets=offsets, resolution=resolution, nn_k=nn_k,
+            max_dist2=max_dist2, time_filter=time_filter,
+            travel_dist=travel_dist, cur_ts=cur_ts,
+            local_window_dist=local_window_dist, radius_filter=radius_filter,
+            sensor_pos=sensor_pos, local_map_radius=local_map_radius,
+            reboot_ts=reboot_ts)
+    C = state.capacity
+    n = qpts.shape[0]
+    n_bricks = state.btable.shape[0] - 1
+    # the probe pattern is the ball {o : |o| <= r} that `offsets` encodes;
+    # candidates outside it are masked so brick fetches keep the reference's
+    # exact 33-cell search semantics (reference :910-948)
+    ball_r2_cells = int(np.max((np.asarray(offsets) ** 2).sum(-1)))
+    ball_r_cells = int(np.floor(np.sqrt(ball_r2_cells)))
+
+    grid = hash3d.grid_coords(qpts, resolution)            # [N, 3]
+    b0 = (grid - ball_r_cells) >> 2
+    bcs = b0[:, None, :] + jnp.asarray(_BRICK_NEI, jnp.int32)[None]
+    hb = hash3d.hash_grid(bcs, n_bricks)                   # [N, 8]
+    rows = state.btable[hb]                                # [N, 8, 64, 3]
+    idx = rows[..., 0]                                     # [N, 8, 64]
+    tsc = rows[..., 1]
+    packed = rows[..., 2]
+
+    cell = (bcs[:, :, None, :] * BRICK_EDGE
+            + jnp.asarray(_SLOT_XYZ, jnp.int32)[None, None])  # [N, 8, 64, 3]
+    coff = cell - grid[:, None, None, :]
+    in_ball = jnp.sum(coff * coff, axis=-1) <= ball_r2_cells
+
+    lx = ((packed & 0xFF).astype(jnp.float32) + 0.5) * (resolution / 256.0)
+    ly = (((packed >> 8) & 0xFF).astype(jnp.float32) + 0.5) * (
+        resolution / 256.0)
+    lz = (((packed >> 16) & 0xFF).astype(jnp.float32) + 0.5) * (
+        resolution / 256.0)
+    base = cell.astype(jnp.float32) * resolution
+    dx = base[..., 0] + lx - qpts[:, None, None, 0]
+    dy = base[..., 1] + ly - qpts[:, None, None, 1]
+    dz = base[..., 2] + lz - qpts[:, None, None, 2]
+    d2 = dx * dx + dy * dy + dz * dz                       # [N, 8, 64]
+    valid = (idx >= 0) & in_ball & (d2 <= max_dist2)
+
+    if time_filter:
+        # |travel[cur] - travel[ts]| < w with ts <= cur and travel monotone
+        # on [0, cur] reduces to a timestamp threshold — computed once here
+        # instead of a per-probe travel_dist gather (a [N*K]-row gather from
+        # a tiny array costs as much as the main record gather on TPU)
+        ts_lo = _travel_window_ts_lo(travel_dist, cur_ts, local_window_dist)
+        valid = valid & (tsc >= ts_lo) & (tsc >= reboot_ts)
+    if radius_filter and sensor_pos is not None:
+        sx = base[..., 0] + lx - sensor_pos[0]
+        sy = base[..., 1] + ly - sensor_pos[1]
+        sz = base[..., 2] + lz - sensor_pos[2]
+        d2s = sx * sx + sy * sy + sz * sz
+        valid = valid & (d2s < local_map_radius * local_map_radius)
+
+    nn_count = jnp.sum(valid, axis=(1, 2)).astype(jnp.int32)
+    K = 8 * CELLS_PER_BRICK
+    d2 = jnp.where(valid, d2, BIG_DIST2).reshape(n, K)
+    idx_c = jnp.where(valid, idx, C).reshape(n, K)
+
+    # k rounds of masked argmin beat lax.top_k at this width (512)
+    rows_n = jnp.arange(n)
+    idx_list, d2_list = [], []
+    for _ in range(nn_k):
+        a = jnp.argmin(d2, axis=1)
+        d2_list.append(d2[rows_n, a])
+        idx_list.append(idx_c[rows_n, a])
+        d2 = d2.at[rows_n, a].set(BIG_DIST2)
+    dist2_k = jnp.stack(d2_list, axis=1)
+    idx_k = jnp.stack(idx_list, axis=1)
+    valid_k = dist2_k < BIG_DIST2
+    idx_k = jnp.where(valid_k, idx_k, C)
+
+    return QueryNeighbors(
+        idx=idx_k.astype(jnp.int32), dist2=dist2_k, valid=valid_k,
+        nn_count=nn_count,
+    )
+
+
+def _query_neighbors_cells(
+    state: MapState,
+    qpts: jnp.ndarray,
+    *,
+    offsets: np.ndarray,
+    resolution: float,
+    nn_k: int,
+    max_dist2: float,
+    time_filter: bool = False,
+    travel_dist: Optional[jnp.ndarray] = None,
+    cur_ts=0,
+    local_window_dist: float = 0.0,
+    radius_filter: bool = False,
+    sensor_pos: Optional[jnp.ndarray] = None,
+    local_map_radius: float = 0.0,
+    reboot_ts=0,
+) -> QueryNeighbors:
+    """Per-cell probe: table gather then position/ts gathers. Same search
+    semantics as the brick path with exact (unquantized) candidate ranking."""
     C = state.capacity
     B = state.table_size
     offs = jnp.asarray(offsets, jnp.int32)
@@ -308,21 +450,16 @@ def query_neighbors(
     grid = hash3d.grid_coords(qpts, resolution)           # [N, 3]
     cells = grid[:, None, :] + offs[None, :, :]           # [N, K, 3]
     h = hash3d.hash_grid(cells, B)                        # [N, K]
-    rec = state.table_rec[h]                              # [N, K, REC_W]
-    idx = _rec_to_idx(rec[..., 0])
+    idx = state.table[h]
     valid = idx >= 0
     idx_c = jnp.where(valid, idx, C)
 
-    pos = rec[..., 1:4]                                   # [N, K, 3]
+    pos = state.positions[idx_c]                          # [N, K, 3]
     d2 = jnp.sum((pos - qpts[:, None, :]) ** 2, axis=-1)  # [N, K]
     valid = valid & (d2 <= max_dist2)
 
     if time_filter:
-        tsc = rec[..., 4].astype(jnp.int32)
-        # |travel[cur] - travel[ts]| < w with ts <= cur and travel monotone
-        # on [0, cur] reduces to a timestamp threshold — computed once here
-        # instead of a per-probe travel_dist gather (a [N*K]-row gather from
-        # a tiny array costs as much as the main record gather on TPU)
+        tsc = state.ts_create[idx_c]
         ts_lo = _travel_window_ts_lo(travel_dist, cur_ts, local_window_dist)
         valid = valid & (tsc >= ts_lo) & (tsc >= reboot_ts)
     if radius_filter and sensor_pos is not None:
@@ -536,7 +673,7 @@ def rehash(
     table = jnp.full_like(state.table, -1)
     table = table.at[h].set(jnp.arange(C + 1, dtype=jnp.int32))
     table = table.at[B].set(-1)
-    return rebuild_table_rec(state.replace(table=table))
+    return rebuild_probe_cache(state.replace(table=table), resolution)
 
 
 def deform_map(

@@ -41,6 +41,8 @@ class QueryParams(NamedTuple):
     weighted_first: bool
     after_pgo: bool = False   # rotate offsets by point orientations
     layer_norm_on: bool = False
+    probe_mode: str = "brick"  # 'brick' (TPU) / 'cells' (CPU) — see
+                               # neural_points.query_neighbors
 
     @property
     def offsets_np(self) -> np.ndarray:
@@ -60,7 +62,15 @@ def make_query_params(config, after_pgo: bool = False) -> QueryParams:
         weighted_first=config.weighted_first,
         after_pgo=after_pgo,
         layer_norm_on=config.layer_norm_on,
+        probe_mode=_resolve_probe_mode(getattr(config, "probe_mode", "auto")),
     )
+
+
+def _resolve_probe_mode(mode: str) -> str:
+    if mode in ("brick", "cells"):
+        return mode
+    import jax
+    return "brick" if jax.default_backend() == "tpu" else "cells"
 
 
 class LocalFilter(NamedTuple):
@@ -134,7 +144,7 @@ def query_decode(
     qn = npm.query_neighbors(
         state, q_abs,
         offsets=qp.offsets_np, resolution=qp.resolution, nn_k=qp.nn_k,
-        max_dist2=qp.max_dist2, **kwargs,
+        max_dist2=qp.max_dist2, probe_mode=qp.probe_mode, **kwargs,
     )
 
     # differentiable distance & offsets computed in the anchored frame

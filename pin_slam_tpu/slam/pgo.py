@@ -7,10 +7,19 @@ utils/pgo.py:18-338) with an in-repo batch Gauss-Newton solver:
   E = Z^-1 (T_i^-1 T_j), weighted by the per-edge sqrt information
   (fixed tran/rot stds or the registration covariance,
   reference :84-188),
-* Jacobians by vectorized numerical differentiation of the right-perturbed
-  tangent (all edges in one batched einsum per perturbation column),
-* normal equations assembled block-sparse and solved with scipy's sparse LU;
-  node 0 (or the earliest loop node) is gauge-fixed.
+* ANALYTIC right-perturbation Jacobians (standard SE(3) adjoint forms,
+  batched over all edges):
+      d r_rot / d xi_j  = [Jr^-1(r_rot), 0]
+      d r_tran/ d xi_j  = [0,            R_E]
+      d r_rot / d xi_i  = [-Jr^-1(r_rot) Ra^T, 0]
+      d r_tran/ d xi_i  = [R_Z^T [t_A]x,      -R_Z^T]
+  with A = T_i^-1 T_j, E = Z^-1 A, and Jr the SO(3) right Jacobian,
+* normal equations assembled block-sparse and solved with scipy's sparse LU,
+* INCREMENTAL WINDOWING (replaces ISAM2's work bounding): with the gauge
+  fixed at node 0, nodes earlier than the earliest loop-edge endpoint feel
+  no net force (the odometry chain is self-consistent), so the exact GN
+  solution leaves them unchanged — the solve runs only over
+  [earliest loop endpoint, newest node], fixing the window's first node.
 
 Loop frequency is low (reference pgo_freq=30 frames), so a host solve is
 the right placement; the heavy consequences (elastic map deformation, pool
@@ -60,6 +69,31 @@ def _apply_tangent(T: np.ndarray, xi: np.ndarray) -> np.ndarray:
     D[:3, :3] = _so3_exp(xi[:3])
     D[:3, 3] = xi[3:]
     return T @ D
+
+
+def _skew_batch(v: np.ndarray) -> np.ndarray:
+    """[..., 3] -> [..., 3, 3]."""
+    z = np.zeros_like(v[..., 0])
+    return np.stack([
+        np.stack([z, -v[..., 2], v[..., 1]], -1),
+        np.stack([v[..., 2], z, -v[..., 0]], -1),
+        np.stack([-v[..., 1], v[..., 0], z], -1)], -2)
+
+
+def _jr_inv_batch(phi: np.ndarray) -> np.ndarray:
+    """Inverse SO(3) right Jacobian, batched [..., 3] -> [..., 3, 3]:
+    Jr^-1 = I + 1/2 [phi]x + (1/th^2 - (1+cos th)/(2 th sin th)) [phi]x^2."""
+    theta = np.linalg.norm(phi, axis=-1)
+    K = _skew_batch(phi)
+    K2 = np.einsum("...ab,...bc->...ac", K, K)
+    small = theta < 1e-6
+    th = np.where(small, 1.0, theta)
+    coef = np.where(
+        small, 1.0 / 12.0,
+        1.0 / th**2 - (1.0 + np.cos(th)) / (2.0 * th * np.sin(
+            np.where(small, 1.0, th))))
+    eye = np.broadcast_to(np.eye(3), K.shape)
+    return eye + 0.5 * K + coef[..., None, None] * K2
 
 
 class PoseGraphManager:
@@ -149,64 +183,84 @@ class PoseGraphManager:
 
     # ------------------------------------------------------------ optimize
 
+    def _jacobian_blocks(self, poses, ii, jj, Zinv, sqrt_w):
+        """Analytic per-edge Jacobian blocks. Returns (r0 [ne*6],
+        Ji [ne,6,6], Jj [ne,6,6]) with the sqrt-information weights already
+        folded in."""
+        A = np.einsum("eab,ebc->eac", _inv_batch(poses[ii]), poses[jj])
+        E = np.einsum("eab,ebc->eac", Zinv, A)
+        r_rot = so3_log_batch(E[:, :3, :3])
+        r = np.concatenate([r_rot, E[:, :3, 3]], axis=1) * sqrt_w
+
+        ne = len(ii)
+        JrI = _jr_inv_batch(r_rot)                      # [ne,3,3]
+        Ra_T = np.swapaxes(A[:, :3, :3], -1, -2)
+        Rz_T = Zinv[:, :3, :3]                          # Z^-1's rotation
+        R_E = E[:, :3, :3]
+        ta_x = _skew_batch(A[:, :3, 3])
+
+        Ji = np.zeros((ne, 6, 6))
+        Jj = np.zeros((ne, 6, 6))
+        Jj[:, :3, :3] = JrI
+        Jj[:, 3:, 3:] = R_E
+        Ji[:, :3, :3] = -np.einsum("eab,ebc->eac", JrI, Ra_T)
+        Ji[:, 3:, :3] = np.einsum("eab,ebc->eac", Rz_T, ta_x)
+        Ji[:, 3:, 3:] = -Rz_T
+        # row weighting by sqrt information
+        Ji *= sqrt_w[:, :, None]
+        Jj *= sqrt_w[:, :, None]
+        return r.reshape(-1), Ji, Jj
+
     def optimize_pose_graph(self, fixed_node: int = 0) -> bool:
-        """Batch GN solve over all nodes (reference: utils/pgo.py:190-234).
+        """Gauss-Newton solve with analytic SE(3) Jacobians (replaces the
+        reference's GTSAM ISAM2/LM, utils/pgo.py:190-234). Work is bounded
+        ISAM2-style by solving only the affected window
+        [earliest loop endpoint, newest node] — exact, see module docstring.
         Updates self.pgo_poses / cur_pose. Applies the loop error budget;
         returns False (and reverts the last loop edge) on rejection."""
         n = max(self.nodes.keys()) + 1
         poses = np.stack([self.nodes[i] for i in range(n)])
         init_err = self.total_error(poses)
         ii, jj, Zinv, sqrt_w = self._edge_arrays()
-        ne = len(self.edges)
-        eps = 1e-6
 
-        for it in range(self.max_iter):
-            r0 = self._residuals(poses, ii, jj, Zinv, sqrt_w)
-            # vectorized numerical jacobian: 12 tangent columns per edge
-            rows, cols, vals = [], [], []
-            for side, nodes_idx in (("i", ii), ("j", jj)):
-                for d in range(6):
-                    xi = np.zeros(6)
-                    xi[d] = eps
-                    pert = poses.copy()
-                    # perturb every node once; edges pick up their endpoint
-                    D = np.eye(4)
-                    D[:3, :3] = _so3_exp(xi[:3])
-                    D[:3, 3] = xi[3:]
-                    pert = np.einsum("nab,bc->nac", poses, D)
-                    if side == "i":
-                        mixed = poses[jj]
-                        rel = np.einsum(
-                            "eab,ebc->eac", _inv_batch(pert[ii]), mixed)
-                    else:
-                        rel = np.einsum(
-                            "eab,ebc->eac", _inv_batch(poses[ii]), pert[jj])
-                    E = np.einsum("eab,ebc->eac", Zinv, rel)
-                    r1 = (np.concatenate(
-                        [so3_log_batch(E[:, :3, :3]), E[:, :3, 3]], axis=1)
-                        * sqrt_w).reshape(-1)
-                    col_block = (r1 - r0) / eps               # [ne*6]
-                    er = np.arange(ne * 6)
-                    ec = np.repeat(nodes_idx * 6 + d, 6)
-                    rows.append(er)
-                    cols.append(ec)
-                    vals.append(col_block)
-            J = sp.coo_matrix(
-                (np.concatenate(vals),
-                 (np.concatenate(rows), np.concatenate(cols))),
-                shape=(ne * 6, n * 6)).tocsr()
-            # gauge fix
-            keep = np.ones(n * 6, bool)
-            keep[fixed_node * 6: fixed_node * 6 + 6] = False
-            Jk = J[:, keep]
-            H = (Jk.T @ Jk).tocsc() + 1e-6 * sp.eye(keep.sum(), format="csc")
-            g = -Jk.T @ r0
+        # affected window: nodes < base are untouched by the exact solution
+        loop_lo = [min(e["i"], e["j"]) for e in self.edges if e["is_loop"]]
+        base = max(fixed_node, min(loop_lo) if loop_lo else fixed_node)
+        nw = n - base                       # window size (incl. fixed base)
+        if nw < 2:
+            nw, base = n, fixed_node
+
+        er6 = (np.arange(len(ii) * 6).reshape(-1, 6, 1)
+               + np.zeros((1, 1, 6), np.intp))          # [ne,6,6] row ids
+        lam = 0.0                                       # GN; LM on demand
+        for _ in range(self.max_iter):
+            r0, Ji, Jj = self._jacobian_blocks(poses, ii, jj, Zinv, sqrt_w)
+            ci = (ii[:, None, None] - base) * 6 + np.arange(6)[None, None, :]
+            cj = (jj[:, None, None] - base) * 6 + np.arange(6)[None, None, :]
+            ci = np.broadcast_to(ci, Ji.shape)
+            cj = np.broadcast_to(cj, Jj.shape)
+            # drop blocks of nodes outside the window or the fixed base node
+            mi = (ii >= base + 1)[:, None, None] & np.ones_like(ci, bool)
+            mj = (jj >= base + 1)[:, None, None] & np.ones_like(cj, bool)
+            rows = np.concatenate([np.broadcast_to(er6, Ji.shape)[mi],
+                                   np.broadcast_to(er6, Jj.shape)[mj]])
+            cols = np.concatenate([ci[mi], cj[mj]]) - 6  # base node removed
+            vals = np.concatenate([Ji[mi], Jj[mj]])
+            ncols = (nw - 1) * 6
+            J = sp.coo_matrix((vals, (rows, cols)),
+                              shape=(len(ii) * 6, ncols)).tocsr()
+            H = (J.T @ J).tocsc() + (1e-6 + lam) * sp.eye(ncols, format="csc")
+            g = -J.T @ r0
             dx = spla.spsolve(H, g)
-            full_dx = np.zeros(n * 6)
-            full_dx[keep] = dx
-            for k in range(n):
-                poses[k] = _apply_tangent(poses[k], full_dx[k * 6:(k + 1) * 6])
-            if np.linalg.norm(dx) < 1e-8:
+            D = np.tile(np.eye(4), (n - base - 1, 1, 1))
+            dxb = dx.reshape(-1, 6)
+            for k in range(n - base - 1):
+                D[k, :3, :3] = _so3_exp(dxb[k, :3])
+            D[:, :3, 3] = dxb[:, 3:]
+            poses[base + 1:] = np.einsum("nab,nbc->nac", poses[base + 1:], D)
+            # GN converges in a handful of iterations with analytic
+            # Jacobians; stop once the update is below solver noise
+            if float(np.max(np.abs(dx))) < 1e-6:
                 break
 
         final_err = self.total_error(poses)

@@ -60,6 +60,22 @@ class SLAMDataset:
                 config.begin_frame: config.end_frame: config.step_frame]
         self.total_pc_count = len(self.pc_filenames)
 
+        # semantic label files (reference reads .label alongside .bin,
+        # dataset/slam_dataset.py:1063-1092)
+        self.label_filenames: List[str] = []
+        if config.semantic_on and config.label_path and \
+                os.path.isdir(config.label_path):
+            self.label_filenames = sorted(
+                str(p) for p in Path(config.label_path).iterdir()
+                if p.suffix == ".label")
+            self.label_filenames = self.label_filenames[
+                config.begin_frame: config.end_frame: config.step_frame]
+            if len(self.label_filenames) < self.total_pc_count:
+                if not self.silence:
+                    print(f"warning: {len(self.label_filenames)} label files"
+                          f" for {self.total_pc_count} scans; semantics off"
+                          " for unmatched frames")
+
         # ground truth poses (kitti or tum), moved into the LiDAR frame
         self.gt_poses: Optional[np.ndarray] = None
         self.gt_pose_provided = False
@@ -86,9 +102,18 @@ class SLAMDataset:
 
     def read_frame(self, frame_id: int):
         """Returns (points [N,3(+c)] f64 sensor frame, point_ts or None)."""
+        pts, ts, _ = self.read_frame_sem(frame_id)
+        return pts, ts
+
+    def read_frame_sem(self, frame_id: int):
+        """Like read_frame but also returns per-point semantic learning
+        labels (or None). When `filter_moving_object` is on and labels
+        exist, moving-class points are dropped here (reference:
+        dataset/slam_dataset.py:1063-1092, filter_sem_kitti :1273-1290)."""
         if self.loader is not None:
             d = self.loader[self.frame_ids[frame_id]]
-            return np.asarray(d["points"], np.float64), d.get("point_ts")
+            return (np.asarray(d["points"], np.float64), d.get("point_ts"),
+                    d.get("sem_labels"))
         filename = self.pc_filenames[frame_id]
         points, ts = pcio.read_point_cloud(
             filename, self.config.color_channel)
@@ -97,7 +122,25 @@ class SLAMDataset:
                                         self.config.lidar_type_guess)
         if self.config.kitti_correction_on:
             points = intrinsic_correct(points, self.config.correction_deg)
-        return points, ts
+
+        sem_labels = None
+        if frame_id < len(self.label_filenames):
+            from pin_slam_tpu.utils.semantic_kitti_utils import (
+                filter_moving_mask, sem_map_function)
+            raw = np.fromfile(self.label_filenames[frame_id],
+                              dtype=np.uint32).reshape(-1) & 0xFFFF
+            if raw.shape[0] == points.shape[0]:
+                sem_labels = sem_map_function(raw)
+                if self.config.filter_moving_object:
+                    keep = filter_moving_mask(sem_labels)
+                    points = points[keep]
+                    sem_labels = sem_labels[keep]
+                    if ts is not None:
+                        ts = np.asarray(ts)[keep]
+            elif not self.silence:
+                print(f"warning: label count {raw.shape[0]} != point count "
+                      f"{points.shape[0]} for frame {frame_id}")
+        return points, ts, sem_labels
 
     # ------------------------------------------------------------ deskewing
 

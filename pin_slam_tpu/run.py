@@ -134,7 +134,7 @@ def run_pin_slam(
 
     t_start = time.time()
     for frame_id in range(dataset.total_pc_count):
-        points, point_ts = dataset.read_frame(frame_id)
+        points, point_ts, sem_labels = dataset.read_frame_sem(frame_id)
         # deskew the cloud with the last relative motion estimate
         if config.deskew and frame_id > 0 and not system.lose_track \
                 and point_ts is not None:
@@ -146,7 +146,9 @@ def run_pin_slam(
         system.process_frame(frame_id, points,
                              gt_pose=dataset.gt_poses[frame_id]
                              if dataset.gt_pose_provided else None,
-                             loop_hook=hook)
+                             loop_hook=hook,
+                             sem_labels=sem_labels
+                             if config.semantic_on else None)
         if visualizer is not None:
             visualizer.on_frame(system, frame_id, vis_mesher)
         # periodic pose-log snapshots (reference: write_results_log,

@@ -55,10 +55,16 @@ def sem_kitti_color(learning_labels: np.ndarray) -> np.ndarray:
     return out
 
 
+def filter_moving_mask(learning_labels: np.ndarray) -> np.ndarray:
+    """Keep-mask over points: True where the class is static (reference
+    filter_sem_kitti, dataset/slam_dataset.py:1273+)."""
+    return ~np.isin(learning_labels, list(MOVING_LEARNING_IDS))
+
+
 def filter_moving(points: np.ndarray, learning_labels: np.ndarray):
     """Drop moving-class points (reference filter_sem_kitti,
     dataset/slam_dataset.py:1273+)."""
-    keep = ~np.isin(learning_labels, list(MOVING_LEARNING_IDS))
+    keep = filter_moving_mask(learning_labels)
     return points[keep], learning_labels[keep]
 
 

@@ -52,24 +52,28 @@ def mlp_apply(params, x: jnp.ndarray, leaky: bool = False) -> jnp.ndarray:
     return out + params["b"][n - 1]
 
 
-def sdf_apply(params, feat: jnp.ndarray, sdf_scale: float) -> jnp.ndarray:
+def sdf_apply(params, feat: jnp.ndarray, sdf_scale: float,
+              leaky: bool = False) -> jnp.ndarray:
     """Scaled SDF prediction [..., in] -> [...] (reference: model/decoder.py:83-85)."""
-    return mlp_apply(params, feat)[..., 0] * sdf_scale
+    return mlp_apply(params, feat, leaky)[..., 0] * sdf_scale
 
 
-def occupancy_apply(params, feat: jnp.ndarray, sdf_scale: float) -> jnp.ndarray:
+def occupancy_apply(params, feat: jnp.ndarray, sdf_scale: float,
+                    leaky: bool = False) -> jnp.ndarray:
     """(reference: model/decoder.py:95-97)"""
-    return jax.nn.sigmoid(sdf_apply(params, feat, sdf_scale) / -sdf_scale)
+    return jax.nn.sigmoid(sdf_apply(params, feat, sdf_scale, leaky)
+                          / -sdf_scale)
 
 
-def sem_log_prob_apply(params, feat: jnp.ndarray) -> jnp.ndarray:
+def sem_log_prob_apply(params, feat: jnp.ndarray,
+                       leaky: bool = False) -> jnp.ndarray:
     """Log-softmax class probabilities (reference: model/decoder.py:100-106)."""
-    return jax.nn.log_softmax(mlp_apply(params, feat), axis=-1)
+    return jax.nn.log_softmax(mlp_apply(params, feat, leaky), axis=-1)
 
 
-def color_apply(params, feat: jnp.ndarray) -> jnp.ndarray:
+def color_apply(params, feat: jnp.ndarray, leaky: bool = False) -> jnp.ndarray:
     """Sigmoid color/intensity regression (reference: model/decoder.py:112-114)."""
-    return jax.nn.sigmoid(mlp_apply(params, feat))
+    return jax.nn.sigmoid(mlp_apply(params, feat, leaky))
 
 
 def weighted_reduce(

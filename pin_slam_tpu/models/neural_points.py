@@ -516,11 +516,19 @@ def local_map_mask(
     return m
 
 
-def idw_weights(qn: QueryNeighbors, eps: float = 1e-15) -> jnp.ndarray:
-    """Normalized inverse-distance-squared weights [N, k]; rows without any
-    valid neighbor get all-zero weights
-    (reference: model/neural_points.py:665-683)."""
-    w = 1.0 / (qn.dist2 + eps)
+def idw_weights(qn: QueryNeighbors, eps: float = 1e-15,
+                idw_index: int = 2) -> jnp.ndarray:
+    """Normalized inverse-distance weights [N, k] with exponent `idw_index`
+    (2 = inverse distance squared, the reference's hardcoded choice); rows
+    without any valid neighbor get all-zero weights
+    (reference: model/neural_points.py:665-683, exponent knob
+    utils/config.py:99)."""
+    if idw_index == 2:
+        w = 1.0 / (qn.dist2 + eps)
+    elif idw_index % 2 == 0:
+        w = 1.0 / (qn.dist2 ** (idw_index // 2) + eps)
+    else:
+        w = 1.0 / (jnp.sqrt(jnp.maximum(qn.dist2, 0.0)) ** idw_index + eps)
     w = jnp.where(qn.valid, w, 0.0)
     return w / (jnp.sum(w, axis=1, keepdims=True) + eps)
 

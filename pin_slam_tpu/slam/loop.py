@@ -170,9 +170,8 @@ class LoopPgoManager:
         pose_init = sysm.pgo_poses[loop_id] @ loop_transform
         src = np.asarray(points[:, :3], np.float32)
         raw, n_raw = _pad(src, sysm.config.source_point_cap * 4)
-        attr = jnp.zeros((raw.shape[0], 1), jnp.float32)
-        _, _, _, src_pts, _, src_n = sysm._preprocess(
-            jnp.asarray(raw), attr, jnp.int32(n_raw))
+        attr = np.zeros((raw.shape[0], 1), np.float32)
+        _, _, _, src_pts, _, src_n = sysm._preprocess(raw, attr, n_raw)
 
         anchor = pose_init[:3, 3].copy()
         T_init = pose_init.copy()

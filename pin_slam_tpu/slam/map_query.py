@@ -43,6 +43,8 @@ class QueryParams(NamedTuple):
     layer_norm_on: bool = False
     probe_mode: str = "brick"  # 'brick' (TPU) / 'cells' (CPU) — see
                                # neural_points.query_neighbors
+    idw_index: int = 2        # IDW exponent (reference: utils/config.py:99)
+    mlp_leaky_relu: bool = False  # decoder activation (ref decoder.py:69-75)
 
     @property
     def offsets_np(self) -> np.ndarray:
@@ -63,6 +65,8 @@ def make_query_params(config, after_pgo: bool = False) -> QueryParams:
         after_pgo=after_pgo,
         layer_norm_on=config.layer_norm_on,
         probe_mode=_resolve_probe_mode(getattr(config, "probe_mode", "auto")),
+        idw_index=config.idw_index,
+        mlp_leaky_relu=config.mlp_leaky_relu,
     )
 
 
@@ -83,6 +87,9 @@ class LocalFilter(NamedTuple):
     sensor_pos: Optional[jnp.ndarray] = None  # [3] anchored frame
     local_map_radius: float = 0.0
     reboot_ts: int = 0           # traced or python int
+    # per-frame sensor origins [maxT, 3] (world), used by the projective
+    # SDF-label correction (reference: utils/mapper.py:695-697)
+    sensor_origins: Optional[jnp.ndarray] = None
 
 
 class QueryOut(NamedTuple):
@@ -154,7 +161,7 @@ def query_decode(
     dist2 = jnp.sum(diff * diff, axis=-1)
     dist2 = jnp.where(qn.valid, dist2, npm.BIG_DIST2)
     qn = qn.replace(dist2=dist2)
-    w = npm.idw_weights(qn)                              # [N, k]
+    w = npm.idw_weights(qn, idw_index=qp.idw_index)      # [N, k]
 
     vec = diff
     if qp.after_pgo:
@@ -171,24 +178,31 @@ def query_decode(
     sem_log_prob = None
     if qp.weighted_first:
         fused = jnp.sum(geo_vec * w[..., None], axis=1)  # [N, F+3]
-        sdf = sdf_apply(geo_mlp, fused, qp.sdf_scale)
+        sdf = sdf_apply(geo_mlp, fused, qp.sdf_scale,
+                        qp.mlp_leaky_relu)
         std = jnp.zeros_like(sdf) if with_std else None
         if sem_mlp is not None:
-            sem_log_prob = sem_log_prob_apply(sem_mlp, fused)
+            sem_log_prob = sem_log_prob_apply(sem_mlp, fused,
+                                              qp.mlp_leaky_relu)
         if color_mlp is not None and color_features is not None:
             cfeats = _maybe_layer_norm(color_features[qn.idx], qp.layer_norm_on)
             cfused = jnp.sum(
                 jnp.concatenate([cfeats, vec], axis=-1) * w[..., None], axis=1)
-            color = color_apply(color_mlp, cfused)[:, :max(color_channel, 1)]
+            color = color_apply(color_mlp, cfused, qp.mlp_leaky_relu)[
+                :, :max(color_channel, 1)]
     else:
-        per = sdf_apply(geo_mlp, geo_vec, qp.sdf_scale)  # [N, k]
+        per = sdf_apply(geo_mlp, geo_vec, qp.sdf_scale,
+                        qp.mlp_leaky_relu)               # [N, k]
         sdf, std = weighted_reduce(per, w, with_std=with_std)
         if sem_mlp is not None:
-            per_sem = sem_log_prob_apply(sem_mlp, geo_vec)
+            per_sem = sem_log_prob_apply(sem_mlp, geo_vec,
+                                         qp.mlp_leaky_relu)
             sem_log_prob, _ = weighted_reduce(per_sem, w)
         if color_mlp is not None and color_features is not None:
             cfeats = _maybe_layer_norm(color_features[qn.idx], qp.layer_norm_on)
-            per_col = color_apply(color_mlp, jnp.concatenate([cfeats, vec], -1))
+            per_col = color_apply(
+                color_mlp, jnp.concatenate([cfeats, vec], -1),
+                qp.mlp_leaky_relu)
             color, _ = weighted_reduce(per_col, w)
             color = color[:, :max(color_channel, 1)]
 
@@ -244,7 +258,11 @@ def numerical_grad_from_neighbors(
     d2 = jnp.sum(diff * diff, axis=-1)                # [6, M, k]
     valid = qn.valid[None] & (d2 <= qp.max_dist2)
     d2 = jnp.where(valid, d2, npm.BIG_DIST2)
-    w = jnp.where(valid, 1.0 / (d2 + 1e-15), 0.0)
+    if qp.idw_index == 2:
+        wraw = 1.0 / (d2 + 1e-15)
+    else:
+        wraw = 1.0 / (jnp.sqrt(jnp.maximum(d2, 0.0)) ** qp.idw_index + 1e-15)
+    w = jnp.where(valid, wraw, 0.0)
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-15)
     vec = jnp.where(valid[..., None], diff, 0.0)
     gv = jnp.concatenate(
@@ -252,9 +270,11 @@ def numerical_grad_from_neighbors(
         axis=-1)                                      # [6, M, k, F+3]
     if qp.weighted_first:
         fused = jnp.sum(gv * w[..., None], axis=2)    # [6, M, F+3]
-        s = sdf_apply(geo_mlp, fused, qp.sdf_scale)   # [6, M]
+        s = sdf_apply(geo_mlp, fused, qp.sdf_scale,
+                      qp.mlp_leaky_relu)              # [6, M]
     else:
-        per = sdf_apply(geo_mlp, gv, qp.sdf_scale)    # [6, M, k]
+        per = sdf_apply(geo_mlp, gv, qp.sdf_scale,
+                        qp.mlp_leaky_relu)            # [6, M, k]
         s = jnp.sum(per * w, axis=-1)
     gx = (s[0] - s[1]) / (2 * eps)
     gy = (s[2] - s[3]) / (2 * eps)

@@ -263,6 +263,12 @@ def mapping_loss(
     weight_i: float = 1.0,
     color_channel: int = 0,
     eik_shared_neighbors: bool = False,
+    proj_correction_on: bool = False,
+    consistency_loss_on: bool = False,
+    weight_c: float = 0.5,
+    consistency_count: int = 1000,
+    consistency_range: float = 0.05,
+    key: Optional[jax.Array] = None,
 ):
     """One training batch's loss (reference: utils/mapper.py:623-812).
 
@@ -286,6 +292,19 @@ def mapping_loss(
         sem_mlp=params.get("sem_mlp") if semantic_on else None,
         color_channel=color_channel,
     )
+
+    if proj_correction_on and lf.sensor_origins is not None:
+        # projective-distance correction: scale the projective SDF label by
+        # |cos(grad, ray)| (reference: utils/mapper.py:695-697)
+        g_all = mq.query_sdf_numerical_grad(
+            state, params["geo_features"], params["geo_mlp"], coord,
+            numerical_grad_eps, qp, lf=lf)
+        ray = coord - lf.sensor_origins[jnp.clip(
+            ts, 0, lf.sensor_origins.shape[0] - 1)]
+        cos = jnp.abs(jnp.sum(g_all * ray, -1)) / (
+            jnp.linalg.norm(g_all, axis=-1) * jnp.linalg.norm(ray, axis=-1)
+            + 1e-12)
+        sdf_label = sdf_label * cos
 
     if main_loss_type == "bce":
         sdf_loss = L.sdf_bce_loss(
@@ -322,6 +341,27 @@ def mapping_loss(
                 numerical_grad_eps, qp, lf=lf)
         eik_loss = L.eikonal_loss(g, mask[::gradient_decimation])
         total = total + weight_e * eik_loss
+
+    if consistency_loss_on and key is not None:
+        # gradient-consistency (smoothness) regularization (reference:
+        # utils/mapper.py:699-719,754-758): compare SDF gradients at a
+        # random subset against gradients at nearby shifted positions
+        m = min(consistency_count, coord.shape[0])
+        base = coord[:m]
+        shift = (jax.random.uniform(key, (m, 3)) * 2.0 - 1.0) \
+            * consistency_range
+        g_base = mq.query_sdf_numerical_grad(
+            state, params["geo_features"], params["geo_mlp"], base,
+            numerical_grad_eps, qp, lf=lf)
+        g_near = mq.query_sdf_numerical_grad(
+            state, params["geo_features"], params["geo_mlp"], base + shift,
+            numerical_grad_eps, qp, lf=lf)
+        cos = jnp.sum(g_base * g_near, -1) / (
+            jnp.linalg.norm(g_base, axis=-1)
+            * jnp.linalg.norm(g_near, axis=-1) + 1e-12)
+        cons = jnp.sum(jnp.where(mask[:m], 1.0 - cos, 0.0)) / jnp.maximum(
+            jnp.sum(mask[:m].astype(jnp.float32)), 1.0)
+        total = total + weight_c * cons
 
     sem_loss = 0.0
     if semantic_on and out.sem_log_prob is not None:
@@ -377,10 +417,10 @@ def make_train_step(
     frozen = {"geo_mlp", "color_mlp", "sem_mlp"}
 
     def step(params, opt_state, state, pool, key, lf, use_new):
-        k1, k2 = jax.random.split(key)
+        k1, kc, k2 = jax.random.split(key, 3)
         bidx = draw_batch_indices(k1, pool, bs, bs_new, use_new)
         (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
-            params, state, pool, bidx, qp, lf, **loss_kwargs)
+            params, state, pool, bidx, qp, lf, key=kc, **loss_kwargs)
         if not train_decoder:
             grads = {
                 k: (jax.tree.map(jnp.zeros_like, v) if k in frozen else v)
@@ -419,9 +459,10 @@ def make_train_loop(
 
     def one(carry, key):
         params, opt_state, state, pool, lf, use_new = carry
-        bidx = draw_batch_indices(key, pool, bs, bs_new, use_new)
+        kb, kc = jax.random.split(key)
+        bidx = draw_batch_indices(kb, pool, bs, bs_new, use_new)
         (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
-            params, state, pool, bidx, qp, lf, **loss_kwargs)
+            params, state, pool, bidx, qp, lf, key=kc, **loss_kwargs)
         if not train_decoder:
             grads = {
                 k: (jax.tree.map(jnp.zeros_like, v) if k in frozen else v)

@@ -158,6 +158,11 @@ class PinSLAMSystem:
             color_on=c.color_on,
             weight_i=c.weight_i,
             color_channel=c.color_channel,
+            proj_correction_on=c.proj_correction_on,
+            consistency_loss_on=c.consistency_loss_on,
+            weight_c=c.weight_c,
+            consistency_count=c.consistency_count,
+            consistency_range=c.consistency_range,
         )
         self._train_step = {
             True: mp.make_train_step(
@@ -198,15 +203,25 @@ class PinSLAMSystem:
         self._loss_kwargs = loss_kwargs
         self._train_loops = {}
 
-        # --- preprocess: crop + train/source downsample, compacted outputs
-        def preprocess(raw, attr, n_valid):
+        # --- preprocess: crop + train/source downsample, compacted outputs.
+        # max_range and the derived voxel sizes are traced scalars so the
+        # adaptive-range path (reference: dataset/slam_dataset.py:398-416)
+        # doesn't recompile per frame.
+        def preprocess(raw, attr, n_valid, max_range_eff, train_vox,
+                       source_vox, key):
             cap_r = raw.shape[0]
             mask = jnp.arange(cap_r) < n_valid
             d = jnp.linalg.norm(raw, axis=1)
-            mask &= (d > c.min_range) & (d < c.max_range)
+            mask &= (d > c.min_range) & (d < max_range_eff)
             mask &= (raw[:, 2] > c.min_z) & (raw[:, 2] < c.max_z)
-            train_keep = voxel_down_sample_hash_mask(
-                raw, mask, c.vox_down_m, 1 << 21) & mask
+            if c.rand_downsample:
+                # random instead of voxel downsampling (reference:
+                # dataset/slam_dataset.py:430-434)
+                train_keep = mask & (
+                    jax.random.uniform(key, (cap_r,)) < c.rand_down_r)
+            else:
+                train_keep = voxel_down_sample_hash_mask(
+                    raw, mask, train_vox, 1 << 21) & mask
 
             def compact(keep, cap):
                 # capacity overflow thins UNIFORMLY (a prefix cut would drop
@@ -229,11 +244,33 @@ class PinSLAMSystem:
             train_pts, train_attr, train_n = compact(
                 train_keep, c.frame_point_cap)
             src_keep = voxel_down_sample_hash_mask(
-                raw, train_keep, c.source_vox_down_m, 1 << 18) & train_keep
+                raw, train_keep, source_vox, 1 << 18) & train_keep
             src_pts, src_attr, src_n = compact(src_keep, c.source_point_cap)
             return train_pts, train_attr, train_n, src_pts, src_attr, src_n
 
-        self._preprocess = jax.jit(preprocess)
+        self._preprocess_jit = jax.jit(preprocess)
+
+        def preprocess_host(raw, attr, n_raw):
+            """Compute the (possibly adaptive) range + voxel sizes on host,
+            then run the jitted preprocess."""
+            max_range_eff = c.max_range
+            if c.adaptive_range_on:
+                pts = raw[:n_raw]
+                mx = np.max(pts, axis=0)
+                mn = np.min(pts, axis=0)
+                min_x_range = min(abs(mx[0]), abs(mn[0]))
+                min_y_range = min(abs(mx[1]), abs(mn[1]))
+                max_x_y_min_range = max(min_x_range, min_y_range)
+                max_range_eff = float(
+                    min(c.max_range, 2.0 * max_x_y_min_range))
+            ratio = max_range_eff / c.max_range
+            self.key, kp = jax.random.split(self.key)
+            return self._preprocess_jit(
+                jnp.asarray(raw), jnp.asarray(attr), jnp.int32(n_raw),
+                jnp.float32(max_range_eff), jnp.float32(c.vox_down_m * ratio),
+                jnp.float32(c.source_vox_down_m * ratio), kp)
+
+        self._preprocess = preprocess_host
 
         # --- map-based dynamic filtering (reference: utils/mapper.py:99-137)
         def dynamic_filter(state, geo_features, geo_mlp, pts_world, mask, lf):
@@ -331,13 +368,18 @@ class PinSLAMSystem:
 
     def _lf(self, cur_ts: int, sensor_pos=None):
         td = jnp.asarray(self.travel_dist[: self.max_frames], jnp.float32)
+        origins = None
+        if self.config.proj_correction_on:
+            origins = jnp.asarray(
+                self.pgo_poses[: self.max_frames, :3, 3], jnp.float32)
         return mq.LocalFilter(
             travel_dist=td, cur_ts=jnp.int32(cur_ts),
             local_window_dist=self.local_window_dist,
             sensor_pos=None if sensor_pos is None
             else jnp.asarray(sensor_pos, jnp.float32),
             local_map_radius=self.config.local_map_radius,
-            reboot_ts=self.reboot_ts)
+            reboot_ts=self.reboot_ts,
+            sensor_origins=origins)
 
     def set_gt_poses(self, gt: np.ndarray):
         self.gt_poses = gt
@@ -420,8 +462,7 @@ class PinSLAMSystem:
             pts_in, 1 << int(np.ceil(np.log2(max(points.shape[0], 2)))),
             attr_dim)
         (train_pts, train_attr, train_n, src_pts, src_attr,
-         src_n) = self._preprocess(
-            jnp.asarray(raw), jnp.asarray(attr), jnp.int32(n_raw))
+         src_n) = self._preprocess(raw, attr, n_raw)
         if self._sync_timing:
             jax.block_until_ready(train_pts)
         t1 = time.time()

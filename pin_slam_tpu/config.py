@@ -295,9 +295,13 @@ class Config:
     source_point_cap: int = 1 << 13
     # maximum number of frames of a run (for travel-dist arrays)
     max_frames: int = 1 << 14
-    # kNN probe layout: 'auto' picks 'brick' on TPU (8 wide brick gathers)
-    # and 'cells' elsewhere (33 narrow gathers; cheaper off-TPU)
+    # kNN probe layout: 'auto' picks 'join' on TPU (tiled spatial-join
+    # Pallas kernel over a per-frame local set) and 'cells' elsewhere
+    # (33 narrow hash gathers; cheaper off-TPU). 'brick' keeps the brick-
+    # cache hash probe.
     probe_mode: str = "auto"
+    # capacity of the per-frame compacted local point set (join probe)
+    local_set_cap: int = 1 << 17
     # bucket rounding for padded host->device transfers
     pad_bucket: int = 1 << 12
 
@@ -571,5 +575,7 @@ class Config:
             self.max_frames = int(tp.get("max_frames", self.max_frames))
             self.buffer_size = int(tp.get("hash_table_size", self.buffer_size))
             self.probe_mode = tp.get("probe_mode", self.probe_mode)
+            self.local_set_cap = int(tp.get("local_set_cap",
+                                            self.local_set_cap))
 
         return self.finalize()

@@ -71,10 +71,10 @@ def make_query_params(config, after_pgo: bool = False) -> QueryParams:
 
 
 def _resolve_probe_mode(mode: str) -> str:
-    if mode in ("brick", "cells"):
+    if mode in ("brick", "cells", "join"):
         return mode
     import jax
-    return "brick" if jax.default_backend() == "tpu" else "cells"
+    return "join" if jax.default_backend() == "tpu" else "cells"
 
 
 class LocalFilter(NamedTuple):
@@ -125,34 +125,44 @@ def query_decode(
     sem_mlp=None,
     with_std: bool = False,
     color_channel: int = 0,
+    lset=None,                       # ops.knn_join.LocalSet (spatial join)
 ) -> QueryOut:
     """Query k-NN neural points and decode SDF (and optionally color /
     semantics) at the query positions. Differentiable w.r.t. qpts,
-    geo_features/color_features, and MLP params."""
+    geo_features/color_features, and MLP params.
+
+    When `lset` is given the neighbor search runs through the tiled
+    spatial-join kernel (ops/knn_join.py) — the local-map filters are baked
+    into the set, so `lf` is ignored for the search."""
     q_abs = qpts if anchor is None else qpts + anchor
 
-    kwargs = {}
-    if lf is not None:
-        kwargs = dict(
-            time_filter=True,
-            travel_dist=lf.travel_dist,
-            cur_ts=lf.cur_ts,
-            local_window_dist=lf.local_window_dist,
-            reboot_ts=lf.reboot_ts,
-        )
-        if lf.sensor_pos is not None:
-            kwargs.update(
-                radius_filter=True,
-                sensor_pos=(lf.sensor_pos if anchor is None
-                            else lf.sensor_pos + anchor),
-                local_map_radius=lf.local_map_radius,
+    if lset is not None:
+        qn = npm.query_neighbors_join(
+            state, q_abs, lset, nn_k=qp.nn_k, max_dist2=qp.max_dist2,
+            resolution=qp.resolution)
+    else:
+        kwargs = {}
+        if lf is not None:
+            kwargs = dict(
+                time_filter=True,
+                travel_dist=lf.travel_dist,
+                cur_ts=lf.cur_ts,
+                local_window_dist=lf.local_window_dist,
+                reboot_ts=lf.reboot_ts,
             )
+            if lf.sensor_pos is not None:
+                kwargs.update(
+                    radius_filter=True,
+                    sensor_pos=(lf.sensor_pos if anchor is None
+                                else lf.sensor_pos + anchor),
+                    local_map_radius=lf.local_map_radius,
+                )
 
-    qn = npm.query_neighbors(
-        state, q_abs,
-        offsets=qp.offsets_np, resolution=qp.resolution, nn_k=qp.nn_k,
-        max_dist2=qp.max_dist2, probe_mode=qp.probe_mode, **kwargs,
-    )
+        qn = npm.query_neighbors(
+            state, q_abs,
+            offsets=qp.offsets_np, resolution=qp.resolution, nn_k=qp.nn_k,
+            max_dist2=qp.max_dist2, probe_mode=qp.probe_mode, **kwargs,
+        )
 
     # differentiable distance & offsets computed in the anchored frame
     pos = state.positions[qn.idx]

@@ -3,10 +3,14 @@
 Rebuilds the reference `Mapper` (reference: utils/mapper.py:33-1036) with
 static shapes:
 
-* the replay pool is a fixed-capacity ring of sample arrays; appends are
-  masked scatters at a running offset (reference concat :275-293),
-* window/capacity filtering is compaction by prefix sums with random
-  eviction above capacity (reference :316-360),
+* the replay pool is a fixed-capacity RING of sample arrays; a frame's
+  samples land as one contiguous dynamic_update_slice block and the ring
+  wrap overwrites the oldest blocks (capacity eviction, replacing the
+  reference's random eviction, reference :316-360),
+* the window filter MARKS out-of-window samples dead (weight=0, one
+  elementwise pass) instead of compacting — compaction over a multi-million
+  row pool costs ~300 ms on TPU while dead rows only dilute batches until
+  the ring reclaims them,
 * new-sample detection queries the map certainty with a 1-cell neighborhood
   (reference :373-438 + set_search_neighborhood(1, 0.0) :388-402),
 * each mapping iteration draws `bs` samples (history + fresh mix,
@@ -43,10 +47,11 @@ class PoolState:
     ts: jnp.ndarray           # [P+1] i32 frame id
     sem_label: Optional[jnp.ndarray]    # [P+1] i32
     color_label: Optional[jnp.ndarray]  # [P+1, Cc]
-    count: jnp.ndarray        # [] i32
+    count: jnp.ndarray        # [] i32 high-water mark of written rows
     # indices (into the pool) of the current frame's "new" samples
     new_idx: jnp.ndarray      # [NEW_CAP] i32
     new_count: jnp.ndarray    # [] i32
+    write_pos: jnp.ndarray    # [] i32 ring position of the next append
 
     @property
     def capacity(self) -> int:
@@ -68,12 +73,15 @@ def init_pool(
         count=jnp.zeros((), jnp.int32),
         new_idx=jnp.zeros((new_cap + 1,), jnp.int32),  # last row = dump
         new_count=jnp.zeros((), jnp.int32),
+        write_pos=jnp.zeros((), jnp.int32),
     )
 
 
 def append_start(pool: PoolState, block_size: int):
-    """Row where `append_samples` will place a block of `block_size`."""
-    return jnp.maximum(jnp.minimum(pool.count, pool.capacity - block_size), 0)
+    """Row where `append_samples` will place a block of `block_size`:
+    the ring position, wrapped to 0 when the block would overrun."""
+    return jnp.where(pool.write_pos + block_size <= pool.capacity,
+                     pool.write_pos, 0)
 
 
 def append_samples(
@@ -92,15 +100,13 @@ def append_samples(
     A TPU-scatter of S=450k rows costs ~60 ms; a dynamic_update_slice of the
     same block is ~1 ms, so the samples are written as-is and masked-out rows
     are DEAD ROWS carried with weight=0 (mapping_loss drops weight==0 rows
-    from the batch). Rows past the last valid sample are not counted. Near
-    capacity the write start is clamped, overwriting the oldest tail instead
-    of dropping the new frame (filter_pool evicts before this point in
-    normal operation)."""
+    from the batch). The ring wrap overwrites the oldest block when the pool
+    is full — capacity eviction without any compaction pass."""
     P = pool.capacity
     S = coord.shape[0]
     idxs = jnp.arange(S, dtype=jnp.int32)
     n_rows = jnp.max(jnp.where(mask, idxs + 1, 0))
-    start = jnp.maximum(jnp.minimum(pool.count, P - S), 0)
+    start = append_start(pool, S)
     tsv = jnp.full((S,), jnp.int32(cur_ts))
     wts = jnp.where(mask, weight, 0.0)
 
@@ -118,8 +124,11 @@ def append_samples(
         color_label=(pool.color_label
                      if color_label is None or pool.color_label is None
                      else dus(pool.color_label, color_label)),
-        count=jnp.where(n_rows > 0, jnp.minimum(start + n_rows, P),
+        count=jnp.where(n_rows > 0,
+                        jnp.maximum(pool.count,
+                                    jnp.minimum(start + n_rows, P)),
                         pool.count),
+        write_pos=jnp.where(n_rows > 0, start + S, pool.write_pos),
     )
 
 
@@ -129,37 +138,24 @@ def filter_pool(
     window_radius: float,
     key: jax.Array,
 ) -> PoolState:
-    """Keep samples within the window radius; random-evict above capacity
-    (reference: utils/mapper.py:316-360)."""
-    P = pool.capacity
-    row_valid = jnp.arange(P + 1) < pool.count
+    """Window filter (reference: utils/mapper.py:316-360): MARK samples
+    outside the radius dead (weight=0) in one elementwise pass. No
+    compaction: the reference compacts + random-evicts, which on a 4M-row
+    pool costs ~300 ms of TPU scatter sweeps; here dead rows merely dilute
+    batch draws (dropped by the weight>0 mask) until the ring overwrites
+    them. Capacity eviction is the ring wrap in append_samples. `key` is
+    kept for API compatibility (the reference's random eviction is
+    subsumed by oldest-first ring replacement)."""
+    del key
     d2 = jnp.sum((pool.coord - origin) ** 2, axis=-1)
-    keep = row_valid & (d2 < window_radius * window_radius)
-    kept = jnp.sum(keep.astype(jnp.int32))
-    # random eviction to capacity (approximate: iid thinning)
-    p_keep = jnp.minimum(1.0, P / jnp.maximum(kept.astype(jnp.float32), 1.0))
-    rand = jax.random.uniform(key, keep.shape)
-    keep = keep & (rand < p_keep)
+    inside = d2 < window_radius * window_radius
+    return pool.replace(weight=jnp.where(inside, pool.weight, 0.0))
 
-    keep_r = keep[:-1]
-    order = jnp.cumsum(keep_r.astype(jnp.int32)) - 1
-    ok = keep_r & (order < P)
-    dest = jnp.where(ok, order, P).astype(jnp.int32)
 
-    def compact(arr):
-        return jnp.zeros_like(arr).at[dest].set(arr[:-1])
-
-    return pool.replace(
-        coord=compact(pool.coord),
-        sdf_label=compact(pool.sdf_label),
-        weight=compact(pool.weight),
-        ts=compact(pool.ts),
-        sem_label=None if pool.sem_label is None else compact(pool.sem_label),
-        color_label=(None if pool.color_label is None
-                     else compact(pool.color_label)),
-        count=jnp.sum(ok.astype(jnp.int32)),
-        new_count=jnp.zeros((), jnp.int32),  # indices invalidated
-    )
+def pool_alive_count(pool: PoolState) -> jnp.ndarray:
+    """Number of live (weight>0) samples among the written rows."""
+    rows = jnp.arange(pool.coord.shape[0]) < pool.count
+    return jnp.sum((rows & (pool.weight != 0.0)).astype(jnp.int32))
 
 
 def detect_new_samples(
@@ -176,31 +172,43 @@ def detect_new_samples(
 ) -> PoolState:
     """Mark this frame's low-certainty near-surface samples as "new"
     (reference: utils/mapper.py:373-438; the certainty probe uses only the
-    center voxel, reference :388-402)."""
+    center voxel, reference :388-402).
+
+    The near-surface pre-filter is applied BEFORE the map probe and the
+    qualifying rows are compacted to a small buffer, so the table/position/
+    certainty gathers run over ~1/4 of the rows (big-array gathers dominate
+    this function's cost on TPU)."""
     C = state.capacity
     B = state.table_size
+    S = frame_coord.shape[0]
     from pin_slam_tpu.ops import hash3d
 
-    grid = hash3d.grid_coords(frame_coord, resolution)
+    near = frame_mask & (jnp.abs(frame_sdf) < surface_sample_range_m * 3.0)
+    K = min(S, 1 << 17)
+    order = jnp.cumsum(near.astype(jnp.int32)) - 1
+    cdest = jnp.where(near & (order < K), order, K)
+    kidx = jnp.full((K + 1,), S, jnp.int32).at[cdest].set(
+        jnp.arange(S, dtype=jnp.int32))[:K]
+    kvalid = kidx < S
+    ki = jnp.where(kvalid, kidx, 0)
+    kpts = frame_coord[ki]
+
+    grid = hash3d.grid_coords(kpts, resolution)
     h = hash3d.hash_grid(grid, B)
-    idx = state.table[jnp.where(frame_mask, h, B)]
+    idx = state.table[jnp.where(kvalid, h, B)]
     valid = idx >= 0
     idx_c = jnp.where(valid, idx, C)
-    d2 = jnp.sum((state.positions[idx_c] - frame_coord) ** 2, axis=-1)
+    d2 = jnp.sum((state.positions[idx_c] - kpts) ** 2, axis=-1)
     valid = valid & (d2 <= hash3d.max_valid_dist2(1, resolution))
     cert = jnp.where(valid, state.certainty[idx_c], 0.0)
 
-    is_new = (
-        frame_mask
-        & (cert < new_certainty_thre)
-        & (jnp.abs(frame_sdf) < surface_sample_range_m * 3.0)
-    )
+    is_new = kvalid & (cert < new_certainty_thre)
     new_cap = pool.new_idx.shape[0] - 1
-    order = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    ok = is_new & (order < new_cap)
-    dest = jnp.where(ok, order, new_cap).astype(jnp.int32)
+    order2 = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    ok = is_new & (order2 < new_cap)
+    dest = jnp.where(ok, order2, new_cap).astype(jnp.int32)
     # positions of these samples inside the pool
-    pool_pos = frame_start + jnp.arange(frame_coord.shape[0], dtype=jnp.int32)
+    pool_pos = frame_start + ki
     new_idx = jnp.zeros_like(pool.new_idx).at[dest].set(
         jnp.where(ok, pool_pos, 0))
     return pool.replace(
@@ -269,6 +277,7 @@ def mapping_loss(
     consistency_count: int = 1000,
     consistency_range: float = 0.05,
     key: Optional[jax.Array] = None,
+    lset=None,
 ):
     """One training batch's loss (reference: utils/mapper.py:623-812).
 
@@ -286,7 +295,7 @@ def mapping_loss(
 
     out = mq.query_decode(
         state, params["geo_features"], params["geo_mlp"], coord, qp,
-        lf=lf,
+        lf=lf, lset=lset,
         color_features=params.get("color_features"),
         color_mlp=params.get("color_mlp") if color_on else None,
         sem_mlp=params.get("sem_mlp") if semantic_on else None,
@@ -298,7 +307,7 @@ def mapping_loss(
         # |cos(grad, ray)| (reference: utils/mapper.py:695-697)
         g_all = mq.query_sdf_numerical_grad(
             state, params["geo_features"], params["geo_mlp"], coord,
-            numerical_grad_eps, qp, lf=lf)
+            numerical_grad_eps, qp, lf=lf, lset=lset)
         ray = coord - lf.sensor_origins[jnp.clip(
             ts, 0, lf.sensor_origins.shape[0] - 1)]
         cos = jnp.abs(jnp.sum(g_all * ray, -1)) / (
@@ -338,7 +347,7 @@ def mapping_loss(
             # utils/mapper.py:986-1036)
             g = mq.query_sdf_numerical_grad(
                 state, params["geo_features"], params["geo_mlp"], dec,
-                numerical_grad_eps, qp, lf=lf)
+                numerical_grad_eps, qp, lf=lf, lset=lset)
         eik_loss = L.eikonal_loss(g, mask[::gradient_decimation])
         total = total + weight_e * eik_loss
 
@@ -352,10 +361,10 @@ def mapping_loss(
             * consistency_range
         g_base = mq.query_sdf_numerical_grad(
             state, params["geo_features"], params["geo_mlp"], base,
-            numerical_grad_eps, qp, lf=lf)
+            numerical_grad_eps, qp, lf=lf, lset=lset)
         g_near = mq.query_sdf_numerical_grad(
             state, params["geo_features"], params["geo_mlp"], base + shift,
-            numerical_grad_eps, qp, lf=lf)
+            numerical_grad_eps, qp, lf=lf, lset=lset)
         cos = jnp.sum(g_base * g_near, -1) / (
             jnp.linalg.norm(g_base, axis=-1)
             * jnp.linalg.norm(g_near, axis=-1) + 1e-12)
@@ -416,11 +425,12 @@ def make_train_step(
 
     frozen = {"geo_mlp", "color_mlp", "sem_mlp"}
 
-    def step(params, opt_state, state, pool, key, lf, use_new):
+    def step(params, opt_state, state, pool, key, lf, use_new, lset=None):
         k1, kc, k2 = jax.random.split(key, 3)
         bidx = draw_batch_indices(k1, pool, bs, bs_new, use_new)
         (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
-            params, state, pool, bidx, qp, lf, key=kc, **loss_kwargs)
+            params, state, pool, bidx, qp, lf, key=kc, lset=lset,
+            **loss_kwargs)
         if not train_decoder:
             grads = {
                 k: (jax.tree.map(jnp.zeros_like, v) if k in frozen else v)
@@ -458,11 +468,12 @@ def make_train_loop(
     frozen = {"geo_mlp", "color_mlp", "sem_mlp"}
 
     def one(carry, key):
-        params, opt_state, state, pool, lf, use_new = carry
+        params, opt_state, state, pool, lf, use_new, lset = carry
         kb, kc = jax.random.split(key)
         bidx = draw_batch_indices(kb, pool, bs, bs_new, use_new)
         (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
-            params, state, pool, bidx, qp, lf, key=kc, **loss_kwargs)
+            params, state, pool, bidx, qp, lf, key=kc, lset=lset,
+            **loss_kwargs)
         if not train_decoder:
             grads = {
                 k: (jax.tree.map(jnp.zeros_like, v) if k in frozen else v)
@@ -471,13 +482,14 @@ def make_train_loop(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         state = apply_certainty_update(state, aux)
-        return (params, opt_state, state, pool, lf, use_new), loss
+        return (params, opt_state, state, pool, lf, use_new, lset), loss
 
-    def loop(params, opt_state, state, pool, key, lf, use_new):
+    def loop(params, opt_state, state, pool, key, lf, use_new, lset=None):
         keys = jax.random.split(key, n_iters + 1)
         carry, losses = jax.lax.scan(
-            one, (params, opt_state, state, pool, lf, use_new), keys[1:])
-        params, opt_state, state, _, _, _ = carry
+            one, (params, opt_state, state, pool, lf, use_new, lset),
+            keys[1:])
+        params, opt_state, state = carry[:3]
         return params, opt_state, state, keys[0], losses
 
     # NOTE: donation deferred to the perf pass — params["geo_features"] can

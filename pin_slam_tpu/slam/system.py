@@ -200,6 +200,28 @@ class PinSLAMSystem:
         self._track = jax.jit(tk.make_tracker(self.qp, tp))
         self._track_loop = jax.jit(
             tk.make_tracker(self.qp, tp._replace(min_valid_ratio=0.15)))
+
+        # spatial-join probe: per-frame compacted+sorted local sets
+        # (ops/knn_join.py) replace the hash probe on TPU
+        self._use_join = self.qp.probe_mode == "join"
+        from pin_slam_tpu.ops import knn_join as kj
+
+        def build_lset_track(state, travel, cur_ts, sensor_pos, reboot_ts):
+            m = npm.local_map_mask(
+                state, travel, cur_ts, lwd,
+                sensor_pos=sensor_pos, local_map_radius=c.local_map_radius,
+                reboot_ts=reboot_ts)
+            return kj.build_local_set(
+                state.positions, m, c.voxel_size_m, c.local_set_cap)
+
+        def build_lset_train(state, travel, cur_ts, reboot_ts):
+            m = npm.local_map_mask(
+                state, travel, cur_ts, lwd, reboot_ts=reboot_ts)
+            return kj.build_local_set(
+                state.positions, m, c.voxel_size_m, c.local_set_cap)
+
+        self._build_lset_track = jax.jit(build_lset_track)
+        self._build_lset_train = jax.jit(build_lset_train)
         self._loss_kwargs = loss_kwargs
         self._train_loops = {}
 
@@ -310,17 +332,27 @@ class PinSLAMSystem:
             world = transform_points(smp.points, T)
             # neural point update source (reference: utils/mapper.py:239-251)
             if c.from_sample_points and not c.from_all_samples:
-                upd_mask = smp.mask & (
-                    jnp.abs(smp.sdf_label)
+                # free-space samples can never pass the surface-distance
+                # criterion — statically slice the ray-major [N, A] layout
+                # down to the endpoint+surface block before the insert
+                # (sampler column order: [endpoint, surface*s_n, free*...])
+                n_rays = train_pts.shape[0]
+                a = c.all_sample_n
+                sblk = 1 + c.surface_sample_n
+                upd_pts = world.reshape(n_rays, a, 3)[:, :sblk].reshape(-1, 3)
+                s_sdf = smp.sdf_label.reshape(n_rays, a)[:, :sblk].reshape(-1)
+                s_mask = smp.mask.reshape(n_rays, a)[:, :sblk].reshape(-1)
+                upd_mask = s_mask & (
+                    jnp.abs(s_sdf)
                     < c.surface_sample_range_m * c.map_surface_ratio)
-                upd_pts = world
             else:
                 upd_mask = smp.mask
                 upd_pts = world
             state, new_ratio = npm.insert_points(
                 state, upd_pts, upd_mask, cur_ts, travel_dist,
                 resolution=c.voxel_size_m, local_window_dist=lwd,
-                force_all_new=force_all_new)
+                force_all_new=force_all_new,
+                maintain_btable=not self._use_join)
 
             frame_start = mp.append_start(pool, world.shape[0])
             pool = mp.append_samples(
@@ -478,6 +510,13 @@ class PinSLAMSystem:
                   self._lf(frame_id - 1,
                            sensor_pos=self.last_pose_ref[:3, 3] - anchor))
             color_kwargs = {}
+            if self._use_join and not self.localization_mode:
+                td_t = jnp.asarray(
+                    self.travel_dist[: self.max_frames], jnp.float32)
+                color_kwargs["lset"] = self._build_lset_track(
+                    self.state, td_t, jnp.int32(frame_id - 1),
+                    jnp.asarray(self.last_pose_ref[:3, 3], jnp.float32),
+                    jnp.int32(self.reboot_ts))
             if c.color_on and (c.photometric_loss_on or c.consist_wieght_on):
                 cols = src_attr[:, : c.color_channel]
                 # rgb -> intensity (reference color_to_intensity,
@@ -626,10 +665,16 @@ class PinSLAMSystem:
         self.opt_state = self.optimizer.init(self.params)
         lf = self._lf(frame_id)
         use_new = jnp.bool_(not (self.lose_track or self.stop_status))
+        lset = None
+        if self._use_join:
+            td = jnp.asarray(self.travel_dist[: self.max_frames], jnp.float32)
+            lset = self._build_lset_train(
+                self.state, td, jnp.int32(frame_id),
+                jnp.int32(self.reboot_ts))
         loop = self._get_train_loop(iters, not self.decoder_freezed)
         (self.params, self.opt_state, self.state, self.key,
          losses) = loop(self.params, self.opt_state, self.state, self.pool,
-                        self.key, lf, use_new)
+                        self.key, lf, use_new, lset)
         metrics = {"loss": losses[-1]}
         # write trained features back to the map (assign_local_to_global
         # equivalent; reference model/neural_points.py:515-526)

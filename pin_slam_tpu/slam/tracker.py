@@ -77,10 +77,11 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
 
     def registration_quantities(state, geo_features, geo_mlp, pts, src_mask,
                                 lf, anchor, src_intensity, color_features,
-                                color_mlp):
+                                color_mlp, lset):
         sdf, grad, out = mq.query_sdf_and_grad(
             state, geo_features, geo_mlp, pts, qp,
-            anchor=anchor, lf=lf, with_std=not tp.weighted_first)
+            anchor=anchor, lf=lf, lset=lset,
+            with_std=not tp.weighted_first)
         grad_norm = jnp.linalg.norm(grad, axis=-1)
 
         valid = (
@@ -106,7 +107,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
             def int_fn(p):
                 o = mq.query_decode(
                     state, geo_features, geo_mlp, p, qp, anchor=anchor,
-                    lf=lf, color_features=color_features,
+                    lf=lf, lset=lset, color_features=color_features,
                     color_mlp=color_mlp, color_channel=tp.color_channel)
                 if tp.color_channel == 3:
                     inten = (0.299 * o.color[:, 0] + 0.587 * o.color[:, 1]
@@ -156,7 +157,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
               init_T: jnp.ndarray, lf: mq.LocalFilter,
               anchor: jnp.ndarray, loop_reg=False,
               src_intensity=None, color_features=None,
-              color_mlp=None) -> TrackResult:
+              color_mlp=None, lset=None) -> TrackResult:
         S = src.shape[0]
         src_count = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1)
         min_ratio = 0.15 if loop_reg else tp.min_valid_ratio
@@ -170,7 +171,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
             H, g, res_cm, vcount, mse, w_pts, vmask = \
                 registration_quantities(
                     state, geo_features, geo_mlp, pts, src_mask, lf, anchor,
-                    src_intensity, color_features, color_mlp)
+                    src_intensity, color_features, color_mlp, lset)
 
             H_lm = H + tp.lm_lambda * jnp.diag(jnp.diag(H))
             enough = vcount >= 10

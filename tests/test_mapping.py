@@ -121,17 +121,21 @@ class TestOnlineMapping:
 
 
 class TestPoolManagement:
-    def test_append_and_overflow(self):
+    def test_append_and_ring_wrap(self):
         pool = mp.init_pool(100, 16, False, 0)
         c = jnp.ones((80, 3))
         pool = mp.append_samples(pool, c, jnp.zeros(80), jnp.ones(80),
                                  jnp.ones(80, bool), 0)
         assert int(pool.count) == 80
-        pool = mp.append_samples(pool, c, jnp.zeros(80), jnp.ones(80),
+        assert int(pool.write_pos) == 80
+        # second block doesn't fit -> ring wraps, overwriting the oldest
+        pool = mp.append_samples(pool, 2 * c, jnp.zeros(80), jnp.ones(80),
                                  jnp.ones(80, bool), 1)
-        assert int(pool.count) == 100  # clamped at capacity
+        assert int(pool.count) == 80
+        assert int(pool.write_pos) == 80
+        np.testing.assert_allclose(np.asarray(pool.coord[:80]), 2.0)
 
-    def test_window_filter(self):
+    def test_window_filter_marks_dead(self):
         pool = mp.init_pool(1000, 16, False, 0)
         near = np.zeros((50, 3), np.float32)
         far = np.full((50, 3), 100.0, np.float32)
@@ -139,14 +143,18 @@ class TestPoolManagement:
             pool, jnp.asarray(np.concatenate([near, far])), jnp.zeros(100),
             jnp.ones(100), jnp.ones(100, bool), 0)
         pool = mp.filter_pool(pool, jnp.zeros(3), 50.0, jax.random.PRNGKey(0))
-        assert int(pool.count) == 50
-        np.testing.assert_allclose(np.asarray(pool.coord[:50]), near)
+        # out-of-window samples are dead (weight 0), in-window alive
+        assert int(mp.pool_alive_count(pool)) == 50
+        w = np.asarray(pool.weight[:100])
+        assert (w[:50] > 0).all() and (w[50:] == 0).all()
 
-    def test_capacity_eviction(self):
+    def test_capacity_eviction_by_ring(self):
         pool = mp.init_pool(64, 16, False, 0)
-        pts = np.random.RandomState(0).randn(64, 3).astype(np.float32)
-        pool = mp.append_samples(pool, jnp.asarray(pts), jnp.zeros(64),
-                                 jnp.ones(64), jnp.ones(64, bool), 0)
-        pool = mp.filter_pool(pool, jnp.zeros(3), 1000.0,
-                              jax.random.PRNGKey(1))
+        rs = np.random.RandomState(0)
+        for ts in range(3):
+            pts = rs.randn(48, 3).astype(np.float32)
+            pool = mp.append_samples(pool, jnp.asarray(pts), jnp.zeros(48),
+                                     jnp.ones(48), jnp.ones(48, bool), ts)
         assert int(pool.count) <= 64
+        # the newest block survives
+        assert int(jnp.max(pool.ts[:48])) == 2

@@ -73,7 +73,7 @@ def main():
     cfg.surface_sample_n = 4
     cfg.loss_weight_on = True
     cfg.bs = 16384
-    cfg.iters = 15
+    cfg.iters = 12  # reference default (run_kitti.yaml sets none)
     cfg.init_iter_ratio = 30
     cfg.bs_new_sample = 1000
     cfg.reg_iter_n = 100

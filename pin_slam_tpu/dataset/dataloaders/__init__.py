@@ -25,10 +25,10 @@ def sequence_dataloaders():
 
 
 def available_dataloaders():
-    return ["generic", "kitti", "kitti_raw", "mulran", "ncd", "nclt",
-            "boreas", "apollo", "paris_luco", "helipr", "replica", "tum",
-            "neuralrgbd", "rosbag", "mcap", "ouster", "nuscenes",
-            "synthetic"]
+    return ["generic", "kitti", "kitti_raw", "kitti360", "kitti_mot",
+            "mulran", "ncd", "nclt", "boreas", "apollo", "paris_luco",
+            "helipr", "replica", "tum", "neuralrgbd", "rosbag", "mcap",
+            "ouster", "nuscenes", "synthetic"]
 
 
 def dataset_factory(dataloader: str, data_dir, *args, **kwargs):
@@ -43,6 +43,12 @@ def dataset_factory(dataloader: str, data_dir, *args, **kwargs):
     if dl == "kitti_raw":
         from pin_slam_tpu.dataset.dataloaders.kitti import KITTIOdometryDataset
         return KITTIOdometryDataset(data_dir, *args, raw=True, **kwargs)
+    if dl == "kitti360":
+        from pin_slam_tpu.dataset.dataloaders.kitti360 import KITTI360Dataset
+        return KITTI360Dataset(data_dir, *args, **kwargs)
+    if dl == "kitti_mot":
+        from pin_slam_tpu.dataset.dataloaders.kitti_mot import KITTIMOTDataset
+        return KITTIMOTDataset(data_dir, *args, **kwargs)
     if dl == "mulran":
         from pin_slam_tpu.dataset.dataloaders.mulran import MulranDataset
         return MulranDataset(data_dir, *args, **kwargs)
@@ -79,9 +85,8 @@ def dataset_factory(dataloader: str, data_dir, *args, **kwargs):
             "the 'ouster' loader needs the 'ouster-sdk' package, which is "
             "not available in this environment")
     if dl == "nuscenes":
-        raise ImportError(
-            "the 'nuscenes' loader needs the 'nuscenes-devkit' package, "
-            "which is not available in this environment")
+        from pin_slam_tpu.dataset.dataloaders.nuscenes import NuScenesDataset
+        return NuScenesDataset(data_dir, *args, **kwargs)
     raise ValueError(
         f"unknown dataloader '{dataloader}'; "
         f"available: {available_dataloaders()}")

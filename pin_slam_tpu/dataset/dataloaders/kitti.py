@@ -19,7 +19,8 @@ from pin_slam_tpu.dataset.slam_dataset import intrinsic_correct
 
 class KITTIOdometryDataset:
     def __init__(self, data_dir, sequence: str = "00", *args,
-                 correct: bool = True, raw: bool = False, **kwargs):
+                 correct: bool = True, raw: bool = False,
+                 load_img: bool = False, **kwargs):
         root = Path(data_dir)
         self.sequence_dir = root / "sequences" / sequence
         scan_dir = self.sequence_dir / "velodyne"
@@ -27,6 +28,11 @@ class KITTIOdometryDataset:
         if not self.scan_files:
             raise FileNotFoundError(f"no scans under {scan_dir}")
         self.correct = correct
+        # image colorization via cam2 (reference: kitti.py:191-237)
+        self.img_files = sorted(glob.glob(str(
+            self.sequence_dir / "image_2" / "*.png")))
+        self.load_img = load_img and \
+            len(self.img_files) >= len(self.scan_files)
 
         self.calib = {}
         calib_file = self.sequence_dir / "calib.txt"
@@ -52,4 +58,15 @@ class KITTIOdometryDataset:
             xyz = intrinsic_correct(xyz, 0.195)
         # spinning-lidar timestamps by yaw (reference kitti.py get_timestamps)
         ts = pcio.estimate_point_ts(xyz)
-        return {"points": xyz, "point_ts": ts}
+        if not self.load_img or "P2" not in self.calib \
+                or "Tr" not in self.calib:
+            return {"points": xyz, "point_ts": ts}
+        from pin_slam_tpu.dataset.dataloaders.colorize import (
+            load_image, project_points_with_P)
+        img = load_image(self.img_files[idx])
+        Tr = self.calib["Tr"].copy()          # already 4x4 (io.py:150-165)
+        Tr[3] = [0.0, 0.0, 0.0, 1.0]
+        P = self.calib["P2"][:3, :4] @ Tr
+        colors, has = project_points_with_P(xyz, img, P)
+        return {"points": np.hstack([xyz, colors]), "point_ts": ts,
+                "has_color": has}

@@ -32,9 +32,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TQ = 256          # queries per tile
+TQ = 128          # queries per tile (smaller tiles -> tighter bboxes ->
+                  # fewer active pairs; tuned on v5e)
 TL = 512          # local points per tile
-PAIR_FACTOR = 12  # pair-list capacity = PAIR_FACTOR * n_query_tiles
+PAIR_FACTOR = 20  # pair-list capacity = PAIR_FACTOR * n_query_tiles
 BIG = 9e3   # python floats: jnp scalars would be captured
 PAD = 1e9   # as constants by the pallas kernel
 
@@ -120,26 +121,35 @@ def _knn_kernel(qid_ref, pid_ref, flags_ref, q_ref, p_ref,
             in_r, axis=1, keepdims=True).astype(jnp.int32)
         d2m = jnp.where(in_r, d2, BIG)
 
-        base = pid_ref[i] * TL
-        col = jax.lax.broadcasted_iota(jnp.int32, (TQ, TL), 1) + base
+        # active tiles are visited nearest-first, so the running top-k
+        # saturates quickly; skip the (expensive) merge when no candidate
+        # in this tile improves any query's current worst neighbor
+        worst = outd_ref[:, k - 1]
+        improves = jnp.any(d2m < worst[:, None])
 
-        # merge into the running top-k: concat [TQ, k+TL], k argmin rounds
-        cat_d[:, :k] = outd_ref[:]
-        cat_d[:, k:] = d2m
-        cat_i[:, :k] = outi_ref[:]
-        cat_i[:, k:] = col
+        @pl.when(improves)
+        def _():
+            base = pid_ref[i] * TL
+            col = jax.lax.broadcasted_iota(jnp.int32, (TQ, TL), 1) + base
 
-        for r in range(k):
-            vals = cat_d[:]
-            mn = jnp.min(vals, axis=1, keepdims=True)   # [TQ, 1]
-            ci = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
-            sel = jnp.min(jnp.where(vals <= mn, ci, jnp.int32(1 << 30)),
-                          axis=1, keepdims=True)
-            pick = ci == sel
-            idx = jnp.sum(jnp.where(pick, cat_i[:], 0), axis=1)
-            outd_ref[:, r] = mn[:, 0]
-            outi_ref[:, r] = jnp.where(mn[:, 0] < BIG, idx, -1)
-            cat_d[:] = jnp.where(pick, BIG, cat_d[:])
+            # merge into the running top-k: concat, k argmin rounds
+            cat_d[:, :k] = outd_ref[:]
+            cat_d[:, k:] = d2m
+            cat_i[:, :k] = outi_ref[:]
+            cat_i[:, k:] = col
+
+            for r in range(k):
+                vals = cat_d[:]
+                mn = jnp.min(vals, axis=1, keepdims=True)   # [TQ, 1]
+                ci = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+                sel = jnp.min(
+                    jnp.where(vals <= mn, ci, jnp.int32(1 << 30)),
+                    axis=1, keepdims=True)
+                pick = ci == sel
+                idx = jnp.sum(jnp.where(pick, cat_i[:], 0), axis=1)
+                outd_ref[:, r] = mn[:, 0]
+                outi_ref[:, r] = jnp.where(mn[:, 0] < BIG, idx, -1)
+                cat_d[:] = jnp.where(pick, BIG, cat_d[:])
 
 
 def _build_pairs(qs: jnp.ndarray, lpts: jnp.ndarray, max_dist2: float):
@@ -162,7 +172,7 @@ def _build_pairs(qs: jnp.ndarray, lpts: jnp.ndarray, max_dist2: float):
     act = bb2 <= max_dist2                              # [nq, npt]
 
     cap_pairs = PAIR_FACTOR * nq
-    per_row_cap = min(npt, 4 * PAIR_FACTOR)
+    per_row_cap = min(npt, 48)
     an = jnp.minimum(jnp.sum(act.astype(jnp.int32), 1), per_row_cap)
     an = jnp.maximum(an, 1)            # every qtile gets its init step
     key = jnp.where(act, bb2, jnp.inf)

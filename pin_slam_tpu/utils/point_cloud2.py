@@ -103,3 +103,27 @@ class SimplePointCloud2:
         self.row_step = step * n
         self.is_bigendian = False
         self.data = arr.tobytes()
+
+
+def make_point_cloud2(points: np.ndarray, frame_id: str = "map",
+                      stamp=None):
+    """Build a real sensor_msgs/PointCloud2 for publishing (requires rospy;
+    reference: pin_slam_ros.py map/frame publishing :344-380)."""
+    from sensor_msgs.msg import PointCloud2, PointField
+
+    simple = SimplePointCloud2(np.asarray(points, np.float32))
+    msg = PointCloud2()
+    if stamp is not None:
+        msg.header.stamp = stamp
+    msg.header.frame_id = frame_id
+    msg.height = 1
+    msg.width = simple.width
+    msg.fields = [
+        PointField(name=f.name, offset=f.offset, datatype=f.datatype,
+                   count=1) for f in simple.fields]
+    msg.is_bigendian = False
+    msg.point_step = simple.point_step
+    msg.row_step = simple.row_step
+    msg.data = simple.data
+    msg.is_dense = True
+    return msg

@@ -532,11 +532,16 @@ def query_neighbors_join(
     nn_k: int,
     max_dist2: float,
     resolution: float,
+    local_ids: bool = True,
 ) -> QueryNeighbors:
     """Neighbor search via the tiled spatial-join kernel over a prebuilt
     LocalSet (ops/knn_join.py). The local-map time/radius filters are baked
     into the set at build time, so no per-candidate filtering happens here.
-    Exact radius-kNN: equal or more complete than the hash-ball probe."""
+    Exact radius-kNN: equal or more complete than the hash-ball probe.
+
+    With local_ids=True (the default contract for lset consumers) the
+    returned indices are LOCAL rows of the set (dump = lset.cap), so all
+    downstream gathers/scatters touch compact [L]-sized arrays."""
     from pin_slam_tpu.ops import knn_join as kj
 
     n = qpts.shape[0]
@@ -545,12 +550,16 @@ def query_neighbors_join(
     if npad:
         q = jnp.concatenate(
             [q, jnp.full((npad, 3), kj.PAD, q.dtype)], axis=0)
-    li, d2, cnt = kj.knn_join(q, lset.pts, k=nn_k, max_dist2=max_dist2,
+    li, d2, cnt = kj.knn_join(q, lset.pts[:-1], k=nn_k, max_dist2=max_dist2,
                               resolution=resolution)
     li, d2, cnt = li[:n], d2[:n], cnt[:n]
     valid = li >= 0
-    gi = jnp.where(valid, lset.gidx[jnp.clip(li, 0, None)], state.capacity)
-    return QueryNeighbors(idx=gi.astype(jnp.int32), dist2=d2, valid=valid,
+    if local_ids:
+        idx = jnp.where(valid, li, lset.cap)
+    else:
+        idx = jnp.where(valid, lset.gidx[jnp.clip(li, 0, None)],
+                        state.capacity)
+    return QueryNeighbors(idx=idx.astype(jnp.int32), dist2=d2, valid=valid,
                           nn_count=cnt)
 
 

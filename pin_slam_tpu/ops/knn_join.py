@@ -25,7 +25,7 @@ counts in-ball hash hits).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,11 +41,25 @@ PAD = 1e9   # as constants by the pallas kernel
 
 
 class LocalSet(NamedTuple):
-    """Morton-sorted compacted local point set (built once per frame)."""
+    """Morton-sorted compacted local point set (built once per frame).
 
-    pts: jnp.ndarray      # [L, 3] f32, padded rows = 1e9
-    gidx: jnp.ndarray     # [L] i32 global map indices, padded = C (dump row)
+    Row L (the last row) of every array is the DUMP row for invalid local
+    indices: pts[L]=0, gidx[L]=C. The kernel consumes pts[:L].
+    When built with attributes, `cert`/`ts_upd`/`quat` carry compacted
+    per-point state so training and tracking touch only [L]-sized arrays
+    (the reference's local-map extraction + assign_local_to_global,
+    model/neural_points.py:424-513,515-526, realized TPU-side)."""
+
+    pts: jnp.ndarray      # [L+1, 3] f32, padded rows = 1e9, dump row = 0
+    gidx: jnp.ndarray     # [L+1] i32 global indices, padded/dump = C
     count: jnp.ndarray    # [] i32 number of valid rows
+    cert: Optional[jnp.ndarray] = None     # [L+1] f32
+    ts_upd: Optional[jnp.ndarray] = None   # [L+1] i32
+    quat: Optional[jnp.ndarray] = None     # [L+1, 4] f32
+
+    @property
+    def cap(self) -> int:
+        return self.pts.shape[0] - 1
 
 
 def _morton10(g: jnp.ndarray) -> jnp.ndarray:
@@ -80,6 +94,9 @@ def build_local_set(
     mask: jnp.ndarray,           # [C] row mask (local-map criteria)
     resolution: float,
     cap: int,
+    certainty: Optional[jnp.ndarray] = None,   # [C+1]
+    ts_update: Optional[jnp.ndarray] = None,   # [C+1]
+    orientations: Optional[jnp.ndarray] = None,  # [C+1, 4]
 ) -> LocalSet:
     """Compact + Morton-sort the masked map rows into a static LocalSet."""
     cap = ((cap + TL - 1) // TL) * TL     # kernel needs L % TL == 0
@@ -91,8 +108,14 @@ def build_local_set(
     valid = gidx < C
     pts = jnp.where(valid[:, None], positions[gidx], PAD)
     si = _sort_by_morton(pts, valid, resolution * 4.0)
-    return LocalSet(pts=pts[si], gidx=gidx[si],
-                    count=jnp.sum(valid.astype(jnp.int32)))
+    gidx_s = jnp.concatenate([gidx[si], jnp.full((1,), C, jnp.int32)])
+    pts_s = jnp.concatenate([pts[si], jnp.zeros((1, 3), pts.dtype)])
+    cert = None if certainty is None else certainty[gidx_s]
+    ts_upd = None if ts_update is None else ts_update[gidx_s]
+    quat = None if orientations is None else orientations[gidx_s]
+    return LocalSet(pts=pts_s, gidx=gidx_s,
+                    count=jnp.sum(valid.astype(jnp.int32)),
+                    cert=cert, ts_upd=ts_upd, quat=quat)
 
 
 def _knn_kernel(qid_ref, pid_ref, flags_ref, q_ref, p_ref,

@@ -178,14 +178,17 @@ class LoopPgoManager:
         T_init[:3, 3] -= anchor
         lf = sysm._lf(loop_id, sensor_pos=pose_init[:3, 3] - anchor)
         extra = {}
+        reg_feats = sysm.params["geo_features"]
         if getattr(sysm, "_use_join", False):
             td = jnp.asarray(sysm.travel_dist[: sysm.max_frames], jnp.float32)
-            extra["lset"] = sysm._build_lset_track(
-                sysm.state, td, jnp.int32(loop_id),
+            lset_t, reg_feats, _ = sysm._build_lset_track(
+                sysm.state, sysm.params["geo_features"], td,
+                jnp.int32(loop_id),
                 jnp.asarray(pose_init[:3, 3], jnp.float32),
                 jnp.int32(sysm.reboot_ts))
+            extra["lset"] = lset_t
         res = sysm._track_loop(
-            sysm.state, sysm.params["geo_features"], sysm.params["geo_mlp"],
+            sysm.state, reg_feats, sysm.params["geo_mlp"],
             src_pts, jnp.arange(src_pts.shape[0]) < src_n,
             jnp.asarray(T_init, jnp.float32), lf,
             jnp.asarray(anchor, jnp.float32), **extra)

@@ -132,14 +132,18 @@ def query_decode(
     geo_features/color_features, and MLP params.
 
     When `lset` is given the neighbor search runs through the tiled
-    spatial-join kernel (ops/knn_join.py) — the local-map filters are baked
-    into the set, so `lf` is ignored for the search."""
+    spatial-join kernel (ops/knn_join.py); the local-map filters are baked
+    into the set, so `lf` is ignored for the search. LOCAL CONTRACT: with
+    lset, `geo_features`/`color_features` must be COMPACT [L+1, F] arrays
+    aligned with the set rows (dump row last); positions/certainty/
+    orientations come from the set itself. All hot gathers then touch
+    [L]-sized arrays instead of the [C]-sized map."""
     q_abs = qpts if anchor is None else qpts + anchor
 
     if lset is not None:
         qn = npm.query_neighbors_join(
             state, q_abs, lset, nn_k=qp.nn_k, max_dist2=qp.max_dist2,
-            resolution=qp.resolution)
+            resolution=qp.resolution, local_ids=True)
     else:
         kwargs = {}
         if lf is not None:
@@ -165,7 +169,8 @@ def query_decode(
         )
 
     # differentiable distance & offsets computed in the anchored frame
-    pos = state.positions[qn.idx]
+    pos_src = state.positions if lset is None else lset.pts
+    pos = pos_src[qn.idx]
     pos_a = pos if anchor is None else pos - anchor
     diff = qpts[:, None, :] - pos_a                      # [N, k, 3]
     dist2 = jnp.sum(diff * diff, axis=-1)
@@ -175,13 +180,19 @@ def query_decode(
 
     vec = diff
     if qp.after_pgo:
-        vec = npm.quat_rotate(state.orientations[qn.idx], vec)
+        quat_src = state.orientations if lset is None else lset.quat
+        vec = npm.quat_rotate(quat_src[qn.idx], vec)
     vec = jnp.where(qn.valid[..., None], vec, 0.0)
 
     feats = _maybe_layer_norm(geo_features[qn.idx], qp.layer_norm_on)
     geo_vec = jnp.concatenate([feats, vec], axis=-1)     # [N, k, F+3]
 
-    cert = jnp.where(qn.valid, state.certainty[qn.idx], 0.0)
+    if lset is None:
+        cert = jnp.where(qn.valid, state.certainty[qn.idx], 0.0)
+    elif lset.cert is not None:
+        cert = jnp.where(qn.valid, lset.cert[qn.idx], 0.0)
+    else:
+        cert = jnp.zeros_like(dist2)
     certainty = jnp.sum(cert * w, axis=1)
 
     color = None

@@ -409,6 +409,21 @@ def apply_certainty_update(state: npm.MapState, aux) -> npm.MapState:
     return npm.accumulate_certainty(state, aux["qn"], aux["w"], aux["ts"])
 
 
+def accumulate_certainty_local(cert, ts_upd, aux, cap: int):
+    """Certainty/ts side effects against COMPACT local arrays (dump row
+    `cap`); scattered back to the global map once per frame."""
+    qn = aux["qn"]
+    w = aux["w"]
+    ts = aux["ts"]
+    idx = jnp.where(qn.valid, qn.idx, cap).reshape(-1)
+    cert = cert.at[idx].add(jnp.where(qn.valid, w, 0.0).reshape(-1))
+    cert = cert.at[cap].set(0.0)
+    tsb = jnp.broadcast_to(ts[:, None], qn.idx.shape).reshape(-1)
+    ts_upd = ts_upd.at[idx].max(jnp.where(qn.valid.reshape(-1), tsb, 0))
+    ts_upd = ts_upd.at[cap].set(0)
+    return cert, ts_upd
+
+
 def make_train_step(
     qp: mq.QueryParams,
     optimizer,
@@ -467,6 +482,12 @@ def make_train_loop(
 
     frozen = {"geo_mlp", "color_mlp", "sem_mlp"}
 
+    def freeze(grads):
+        if train_decoder:
+            return grads
+        return {k: (jax.tree.map(jnp.zeros_like, v) if k in frozen else v)
+                for k, v in grads.items()}
+
     def one(carry, key):
         params, opt_state, state, pool, lf, use_new, lset = carry
         kb, kc = jax.random.split(key)
@@ -474,23 +495,73 @@ def make_train_loop(
         (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
             params, state, pool, bidx, qp, lf, key=kc, lset=lset,
             **loss_kwargs)
-        if not train_decoder:
-            grads = {
-                k: (jax.tree.map(jnp.zeros_like, v) if k in frozen else v)
-                for k, v in grads.items()
-            }
+        grads = freeze(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         state = apply_certainty_update(state, aux)
         return (params, opt_state, state, pool, lf, use_new, lset), loss
 
+    def one_local(carry, key):
+        """Local-mode iteration: features/certainty live in compact
+        [L+1]-row arrays; no [C]-sized scatter anywhere in the loop."""
+        params, opt_state, cert, ts_upd, pool, lf, use_new, lset = carry
+        kb, kc = jax.random.split(key)
+        bidx = draw_batch_indices(kb, pool, bs, bs_new, use_new)
+        lset_c = lset._replace(cert=cert)
+        (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
+            params, None, pool, bidx, qp, lf, key=kc, lset=lset_c,
+            **loss_kwargs)
+        grads = freeze(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        cert, ts_upd = accumulate_certainty_local(
+            cert, ts_upd, aux, lset.cap)
+        return (params, opt_state, cert, ts_upd, pool, lf, use_new,
+                lset), loss
+
     def loop(params, opt_state, state, pool, key, lf, use_new, lset=None):
         keys = jax.random.split(key, n_iters + 1)
+        if lset is None:
+            carry, losses = jax.lax.scan(
+                one, (params, opt_state, state, pool, lf, use_new, lset),
+                keys[1:])
+            params, opt_state, state = carry[:3]
+            return params, opt_state, state, keys[0], losses
+
+        # ---- local mode: gather compact params, train, scatter back once
+        C = state.capacity
+        gidx = lset.gidx
+        lparams = dict(params)
+        lparams["geo_features"] = params["geo_features"][gidx]
+        if "color_features" in params:
+            lparams["color_features"] = params["color_features"][gidx]
+        lopt = optimizer.init(lparams)   # fresh per-frame optimizer
         carry, losses = jax.lax.scan(
-            one, (params, opt_state, state, pool, lf, use_new, lset),
+            one_local,
+            (lparams, lopt, lset.cert, lset.ts_upd, pool, lf, use_new,
+             lset),
             keys[1:])
-        params, opt_state, state = carry[:3]
-        return params, opt_state, state, keys[0], losses
+        lparams, _, cert_l, ts_l = carry[:4]
+
+        new_params = dict(params)
+        new_params["geo_features"] = (
+            params["geo_features"].at[gidx].set(lparams["geo_features"])
+            .at[C].set(0.0))
+        if "color_features" in params:
+            new_params["color_features"] = (
+                params["color_features"].at[gidx]
+                .set(lparams["color_features"]).at[C].set(0.0))
+        for k in ("geo_mlp", "color_mlp", "sem_mlp"):
+            if k in lparams:
+                new_params[k] = lparams[k]
+        new_state = state.replace(
+            geo_features=new_params["geo_features"],
+            color_features=new_params.get("color_features",
+                                          state.color_features),
+            certainty=state.certainty.at[gidx].set(cert_l).at[C].set(0.0),
+            ts_update=state.ts_update.at[gidx].set(ts_l).at[C].set(0),
+        )
+        return new_params, opt_state, new_state, keys[0], losses
 
     # NOTE: donation deferred to the perf pass — params["geo_features"] can
     # alias state.geo_features across the call boundary.

@@ -206,19 +206,30 @@ class PinSLAMSystem:
         self._use_join = self.qp.probe_mode == "join"
         from pin_slam_tpu.ops import knn_join as kj
 
-        def build_lset_track(state, travel, cur_ts, sensor_pos, reboot_ts):
+        use_quat = self.qp.after_pgo
+
+        def build_lset_track(state, geo_features, travel, cur_ts,
+                             sensor_pos, reboot_ts):
             m = npm.local_map_mask(
                 state, travel, cur_ts, lwd,
                 sensor_pos=sensor_pos, local_map_radius=c.local_map_radius,
                 reboot_ts=reboot_ts)
-            return kj.build_local_set(
-                state.positions, m, c.voxel_size_m, c.local_set_cap)
+            ls = kj.build_local_set(
+                state.positions, m, c.voxel_size_m, c.local_set_cap,
+                certainty=state.certainty,
+                orientations=state.orientations if use_quat else None)
+            feats = geo_features[ls.gidx]
+            cfeats = (state.color_features[ls.gidx]
+                      if state.color_features is not None else None)
+            return ls, feats, cfeats
 
         def build_lset_train(state, travel, cur_ts, reboot_ts):
             m = npm.local_map_mask(
                 state, travel, cur_ts, lwd, reboot_ts=reboot_ts)
             return kj.build_local_set(
-                state.positions, m, c.voxel_size_m, c.local_set_cap)
+                state.positions, m, c.voxel_size_m, c.local_set_cap,
+                certainty=state.certainty, ts_update=state.ts_update,
+                orientations=state.orientations if use_quat else None)
 
         self._build_lset_track = jax.jit(build_lset_track)
         self._build_lset_train = jax.jit(build_lset_train)
@@ -510,13 +521,19 @@ class PinSLAMSystem:
                   self._lf(frame_id - 1,
                            sensor_pos=self.last_pose_ref[:3, 3] - anchor))
             color_kwargs = {}
+            track_feats = self.params["geo_features"]
+            track_cfeats = self.params.get("color_features")
             if self._use_join and not self.localization_mode:
                 td_t = jnp.asarray(
                     self.travel_dist[: self.max_frames], jnp.float32)
-                color_kwargs["lset"] = self._build_lset_track(
-                    self.state, td_t, jnp.int32(frame_id - 1),
+                lset_t, track_feats, lcf = self._build_lset_track(
+                    self.state, self.params["geo_features"], td_t,
+                    jnp.int32(frame_id - 1),
                     jnp.asarray(self.last_pose_ref[:3, 3], jnp.float32),
                     jnp.int32(self.reboot_ts))
+                color_kwargs["lset"] = lset_t
+                if lcf is not None:
+                    track_cfeats = lcf
             if c.color_on and (c.photometric_loss_on or c.consist_wieght_on):
                 cols = src_attr[:, : c.color_channel]
                 # rgb -> intensity (reference color_to_intensity,
@@ -524,12 +541,12 @@ class PinSLAMSystem:
                 inten = (cols[:, 0] if c.color_channel == 1 else
                          0.299 * cols[:, 0] + 0.587 * cols[:, 1]
                          + 0.114 * cols[:, 2])
-                color_kwargs = dict(
+                color_kwargs.update(
                     src_intensity=inten,
-                    color_features=self.params.get("color_features"),
+                    color_features=track_cfeats,
                     color_mlp=self.params.get("color_mlp"))
             res = self._track(
-                self.state, self.params["geo_features"],
+                self.state, track_feats,
                 self.params["geo_mlp"], src_pts,
                 jnp.arange(c.source_point_cap) < src_n,
                 jnp.asarray(T_init, jnp.float32), lf,
@@ -662,7 +679,8 @@ class PinSLAMSystem:
         reference creates a new Adam per mapping() call, utils/tools.py:153).
         The whole run is one jitted lax.scan program, cached per
         (iters, decoder-frozen) variant."""
-        self.opt_state = self.optimizer.init(self.params)
+        if not self._use_join:
+            self.opt_state = self.optimizer.init(self.params)
         lf = self._lf(frame_id)
         use_new = jnp.bool_(not (self.lose_track or self.stop_status))
         lset = None

@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Quality gauntlet: a multi-hundred-frame noisy synthetic sequence with
+genuine revisits, driving the FULL pgo_on path (loop detection -> scan-to-
+map refinement -> pose-graph GN -> elastic deformation -> pool transform),
+scored with the reference's protocols:
+
+  * ATE/ARE + segment drift (reference: eval/eval_traj_utils.py:14-174,
+    segment lengths scaled to the scene)
+  * mesh precision/recall/F-score at the reference's 5 cm threshold
+    (reference: eval/eval_mesh_utils.py:75-90)
+
+Runs entirely in this environment (no dataset downloads):
+
+    python eval/eval_gauntlet.py [--frames 240] [--laps 2.15] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=240)
+    p.add_argument("--laps", type=float, default=2.15)
+    p.add_argument("--noise", type=float, default=0.01,
+                   help="range noise sigma [m]")
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--out", default="eval/gauntlet_results.json")
+    a = p.parse_args()
+
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from pin_slam_tpu.config import Config
+    from pin_slam_tpu.dataset.synthetic import (
+        SyntheticSequence, circle_trajectory, default_scene,
+        lidar_directions)
+    from pin_slam_tpu.slam.system import PinSLAMSystem
+    from pin_slam_tpu.slam.loop import LoopPgoManager
+    from pin_slam_tpu.slam.mesher import Mesher, MeshConfig
+    from pin_slam_tpu.utils.eval_traj import (absolute_error,
+                                              relative_error)
+    from pin_slam_tpu.utils.eval_mesh import eval_mesh, sample_mesh_points
+    from pin_slam_tpu.ops.transforms import transform_points
+    import jax.numpy as jnp
+
+    cfg = Config()
+    cfg.track_on = True
+    cfg.pgo_on = True
+    cfg.max_range = 60.0
+    cfg.min_range = 0.5
+    cfg.vox_down_m = 0.08
+    cfg.source_vox_down_m = 0.4
+    cfg.voxel_size_m = 0.3
+    cfg.sigma_sigmoid_m = 0.1
+    cfg.surface_sample_range_m = 0.25
+    cfg.loss_weight_on = True
+    cfg.bs = 8192
+    cfg.iters = 12
+    cfg.init_iter_ratio = 25
+    cfg.bs_new_sample = 1024
+    cfg.reg_iter_n = 50
+    cfg.map_capacity = 1 << 19
+    cfg.buffer_size = 1 << 22
+    cfg.frame_point_cap = 1 << 14
+    cfg.source_point_cap = 1 << 12
+    cfg.max_frames = 1 << int(np.ceil(np.log2(a.frames + 1)))
+    cfg.local_map_context = False      # scan-context descriptors
+    cfg.pgo_freq = 20
+    cfg.silence = True
+    cfg.finalize()
+    cfg.pool_capacity = 3_000_000
+
+    seq = SyntheticSequence(
+        scene_sdf=default_scene(half_extent=(22.0, 16.0, 4.0)),
+        poses=circle_trajectory(a.frames, radius=8.0,
+                                revolutions=a.laps, ease_in_frames=6),
+        dirs=lidar_directions(512, 32), max_range=60.0)
+
+    system = PinSLAMSystem(cfg)
+    # SLAM (not mapping) evaluation: no gt handed to the system beyond
+    # frame 0
+    loop_mgr = LoopPgoManager(cfg, system)
+
+    rng = np.random.RandomState(7)
+    gt_points = []
+    t0 = time.time()
+    for fid in range(len(seq)):
+        pts = seq.frame(fid)
+        # range-proportional measurement noise
+        if a.noise > 0:
+            d = np.linalg.norm(pts[:, :3], axis=1, keepdims=True)
+            pts = pts.copy()
+            pts[:, :3] *= 1.0 + (a.noise * rng.randn(pts.shape[0], 1)
+                                 / np.maximum(d, 1.0))
+        hook = (lambda f, _p=pts: loop_mgr.after_frame(f, _p))
+        system.process_frame(fid, pts, loop_hook=hook)
+        if fid % 3 == 0:
+            w = np.asarray(transform_points(
+                jnp.asarray(seq.frame(fid)[:, :3]),
+                jnp.asarray(seq.poses[fid], jnp.float32)))
+            gt_points.append(w[:: 3])
+        if fid % 20 == 0:
+            el = time.time() - t0
+            print(f"frame {fid}/{len(seq)} ({el / (fid + 1) * 1e3:.0f} "
+                  f"ms/frame, map {int(system.state.count)}, "
+                  f"loops {loop_mgr.pgo_count})", file=sys.stderr)
+
+    n = len(seq)
+    lengths = (10, 20, 30, 40, 50)   # scene-scaled drift segments
+    slam_poses = system.pgo_poses[:n]
+    odom_poses = system.odom_poses[:n]
+    ate_s, are_s = absolute_error(seq.poses[:n], slam_poses, False)
+    ate_o, are_o = absolute_error(seq.poses[:n], odom_poses, False)
+    dt_s, dr_s = relative_error(seq.poses[:n], slam_poses, lengths, step=5)
+    dt_o, dr_o = relative_error(seq.poses[:n], odom_poses, lengths, step=5)
+
+    mesher = Mesher(system.qp, MeshConfig(
+        mc_res_m=0.1, mesh_min_nn=10, min_cluster_vertices=300,
+        infer_bs=1 << 15, skip_top_voxel=0))
+    v, f = mesher.recon_map_mesh(
+        system.state, system.params["geo_features"],
+        system.params["geo_mlp"])
+    gt = np.concatenate(gt_points)
+    perm = np.random.RandomState(0).permutation(len(gt))[:300_000]
+    pred = sample_mesh_points(v, f, 300_000)
+    mesh5 = eval_mesh(pred, gt[perm], threshold=0.05,
+                      crop_pred_to_gt=True)
+    mesh10 = eval_mesh(pred, gt[perm], threshold=0.1,
+                       crop_pred_to_gt=True)
+    mesh5_uncropped = eval_mesh(pred, gt[perm], threshold=0.05)
+
+    results = {
+        "frames": n,
+        "trajectory_length_m": float(2 * np.pi * 8.0 * a.laps),
+        "loop_closures": int(loop_mgr.pgo_count),
+        "slam": {"ATE_RMSE_m": ate_s, "ARE_deg": are_s,
+                 "drift_t_pct": dt_s, "drift_r_deg_per_m": dr_s},
+        "odom": {"ATE_RMSE_m": ate_o, "ARE_deg": are_o,
+                 "drift_t_pct": dt_o, "drift_r_deg_per_m": dr_o},
+        "mesh@5cm": {k: mesh5[k] for k in
+                     ("Precision [Accuracy] (%)",
+                      "Recall [Completeness] (%)", "F-score (%)",
+                      "Chamfer_L1 (m)")},
+        "mesh@10cm": {k: mesh10[k] for k in
+                      ("Precision [Accuracy] (%)",
+                       "Recall [Completeness] (%)", "F-score (%)")},
+        "mesh@5cm_uncropped": {k: mesh5_uncropped[k] for k in
+                               ("Precision [Accuracy] (%)",
+                                "F-score (%)")},
+        "map_points": int(system.state.count),
+        "mesh_vertices": int(v.shape[0]),
+    }
+    os.makedirs(os.path.dirname(a.out), exist_ok=True)
+    with open(a.out, "w") as fp:
+        json.dump(results, fp, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

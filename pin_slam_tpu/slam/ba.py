@@ -126,6 +126,23 @@ def make_ba_loop(qp: mq.QueryParams, *, n_iters: int, bs: int, window: int,
     return jax.jit(run)
 
 
+_TRANSFORM_POOL_JIT = None
+
+
+def _transform_pool_jit():
+    """Module-cached jitted pool re-transform (was re-jitted per BA call)."""
+    global _TRANSFORM_POOL_JIT
+    if _TRANSFORM_POOL_JIT is None:
+        def transform_pool(pool, d):
+            T = d[jnp.clip(pool.ts, 0, d.shape[0] - 1)]
+            coord = jnp.einsum("nij,nj->ni", T[:, :3, :3], pool.coord) \
+                + T[:, :3, 3]
+            return pool.replace(coord=coord)
+
+        _TRANSFORM_POOL_JIT = jax.jit(transform_pool)
+    return _TRANSFORM_POOL_JIT
+
+
 def run_bundle_adjustment(system, frame_id: int):
     """Host wrapper (reference call site: pin_slam.py:388-389). Updates the
     system pose arrays and map features in place."""
@@ -141,30 +158,30 @@ def run_bundle_adjustment(system, frame_id: int):
             lr_pose=c.lr_pose, lr_map=c.lr_ba_map, adam_eps=c.adam_eps))
     loop = getattr(system, key)
 
+    # pad the pose array to the STATIC max_frames shape so the jitted BA
+    # program is compiled once, not once per frame count
+    base_full = np.tile(np.eye(4), (system.max_frames, 1, 1))
     base = system.pgo_poses[:n] if c.pgo_on else system.odom_poses[:n]
+    base_full[:n] = base
     system.key, k = jax.random.split(system.key)
     lf = system._lf(frame_id)
     poses, feats, losses = loop(
         system.state, system.pool, system.params["geo_features"],
-        system.params["geo_mlp"], jnp.asarray(base, jnp.float32),
+        system.params["geo_mlp"], jnp.asarray(base_full, jnp.float32),
         jnp.int32(first_opt), k, lf)
 
-    poses_np = np.asarray(poses, np.float64)
+    poses_np = np.asarray(poses[:n], np.float64)
     # re-map the replay pool's world coords through the pose corrections
     # (replaces the reference's ba_done_flag re-transform path,
     # utils/mapper.py:301-312,637-640)
     from pin_slam_tpu.ops.transforms import np_se3_inv
 
-    diffs = np.stack([poses_np[i] @ np_se3_inv(base[i]) for i in range(n)])
-    diffs_j = jnp.asarray(diffs, jnp.float32)
-
-    def transform_pool(pool, d):
-        T = d[jnp.clip(pool.ts, 0, d.shape[0] - 1)]
-        coord = jnp.einsum("nij,nj->ni", T[:, :3, :3], pool.coord) \
-            + T[:, :3, 3]
-        return pool.replace(coord=coord)
-
-    system.pool = jax.jit(transform_pool)(system.pool, diffs_j)
+    diffs = np.tile(np.eye(4), (system.max_frames, 1, 1))
+    for i in range(n):
+        diffs[i] = poses_np[i] @ np_se3_inv(base[i])
+    # static [max_frames,4,4] shape -> the cached jit never recompiles
+    system.pool = _transform_pool_jit()(
+        system.pool, jnp.asarray(diffs, jnp.float32))
 
     if c.pgo_on:
         system.pgo_poses[:n] = poses_np

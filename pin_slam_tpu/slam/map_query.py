@@ -39,7 +39,12 @@ class QueryParams(NamedTuple):
     max_dist2: float
     sdf_scale: float
     weighted_first: bool
-    after_pgo: bool = False   # rotate offsets by point orientations
+    # offsets are ALWAYS rotated by the stored point orientations: they are
+    # identity quaternions until the first PGO deformation, so this is
+    # arithmetically identical to the reference's after_pgo gating
+    # (model/neural_points.py:645-648) with NO recompile at the first loop
+    # closure (the flag used to rebuild every jitted program mid-run)
+    after_pgo: bool = True
     layer_norm_on: bool = False
     probe_mode: str = "brick"  # 'brick' (TPU) / 'cells' (CPU) — see
                                # neural_points.query_neighbors
@@ -51,7 +56,7 @@ class QueryParams(NamedTuple):
         return np.asarray(self.offsets, np.int32)
 
 
-def make_query_params(config, after_pgo: bool = False) -> QueryParams:
+def make_query_params(config, after_pgo: bool = True) -> QueryParams:
     from pin_slam_tpu.ops import hash3d
 
     offs = hash3d.neighbor_offsets(config.num_nei_cells, config.search_alpha)

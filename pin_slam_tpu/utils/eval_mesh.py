@@ -39,15 +39,46 @@ def nn_distances(src: np.ndarray, dst: np.ndarray,
     return np.minimum(d, truncation)
 
 
+def crop_points_to_region(
+    pts: np.ndarray, region_pts: np.ndarray,
+    voxel: float = 0.5, margin: int = 1,
+) -> np.ndarray:
+    """Keep `pts` whose voxel lies within `margin` voxels of any
+    `region_pts` voxel — the evaluation analog of the reference's
+    intersection cropping (reference: eval/eval_mesh_utils.py:164-201):
+    predicted surface in regions the sensor never observed must not count
+    as spurious geometry."""
+    occ = np.unique(np.floor(region_pts / voxel).astype(np.int64), axis=0)
+    if margin > 0:
+        offs = np.stack(np.meshgrid(*([np.arange(-margin, margin + 1)] * 3),
+                                    indexing="ij"), -1).reshape(-1, 3)
+        occ = np.unique((occ[:, None, :] + offs[None]).reshape(-1, 3),
+                        axis=0)
+    occ_v = np.ascontiguousarray(occ).view(
+        np.dtype((np.void, occ.dtype.itemsize * 3))).ravel()
+    g = np.ascontiguousarray(
+        np.floor(pts / voxel).astype(np.int64)).view(
+        np.dtype((np.void, 8 * 3))).ravel()
+    keep = np.isin(g, occ_v)
+    return pts[keep]
+
+
 def eval_mesh(
     pred_points: np.ndarray,
     gt_points: np.ndarray,
     threshold: float = 0.05,
     truncation_acc: float = 0.5,
     truncation_com: float = 0.5,
+    crop_pred_to_gt: bool = False,
+    crop_voxel: float = 0.5,
 ) -> Dict[str, float]:
     """Chamfer-L1/L2 [m] + precision/recall/F-score [%] at `threshold`
-    (reference: eval/eval_mesh_utils.py:8-91)."""
+    (reference: eval/eval_mesh_utils.py:8-91). With crop_pred_to_gt the
+    predicted samples are first restricted to the GT-observed region
+    (reference intersection-crop protocol, :164-201)."""
+    if crop_pred_to_gt and pred_points.shape[0] and gt_points.shape[0]:
+        pred_points = crop_points_to_region(pred_points, gt_points,
+                                            voxel=crop_voxel)
     if pred_points.shape[0] == 0 or gt_points.shape[0] == 0:
         return {
             "MAE_accuracy (m)": float("inf"),

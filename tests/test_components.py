@@ -163,3 +163,53 @@ class TestConfigFlagWiring:
         a = np.asarray(sdf_apply(mlp, x, 1.0, leaky=False))
         b = np.asarray(sdf_apply(mlp, x, 1.0, leaky=True))
         assert not np.allclose(a, b)
+
+
+class TestDeskew:
+    """Constant-velocity motion undistortion (reference:
+    utils/tools.py:747-779); previously untested (r1 VERDICT weak #9)."""
+
+    def test_deskew_recovers_distorted_scan(self):
+        from pin_slam_tpu.dataset.slam_dataset import SLAMDataset
+
+        rs = np.random.RandomState(3)
+        pts_true = rs.randn(2000, 3) * np.array([10, 10, 1.0])
+        ts = np.linspace(0.0, 1.0, 2000)
+        # sensor moves by `tran` over the scan; a point captured at time t
+        # is measured from the pose interpolated at (t - 0.5)
+        yaw = 0.04
+        tran = np.array([0.8, 0.1, 0.0])
+        R_full = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                           [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1.0]])
+        distorted = pts_true.copy()
+        for i, t in enumerate(ts):
+            r = t - 0.5
+            th = -r * yaw
+            Rr = np.array([[np.cos(th), -np.sin(th), 0],
+                           [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+            distorted[i] = Rr @ pts_true[i] - r * tran
+
+        last_tran = np.eye(4)
+        last_tran[:3, :3] = R_full
+        last_tran[:3, 3] = tran
+        out = SLAMDataset.deskew(distorted, ts, last_tran)
+        err = np.linalg.norm(out - pts_true, axis=1)
+        # deskewing must recover the undistorted cloud to ~cm (slerp vs the
+        # exact per-point rotation differ at second order only)
+        assert np.median(err) < 0.02
+        # and must beat the raw distorted cloud by a wide margin
+        raw_err = np.linalg.norm(distorted - pts_true, axis=1)
+        assert np.median(err) < 0.2 * np.median(raw_err)
+
+    def test_deskew_noop_cases(self):
+        from pin_slam_tpu.dataset.slam_dataset import SLAMDataset
+
+        pts = np.random.RandomState(0).randn(100, 3)
+        T = np.eye(4)
+        T[:3, 3] = [1.0, 0, 0]
+        # no timestamps -> unchanged
+        np.testing.assert_array_equal(SLAMDataset.deskew(pts, None, T), pts)
+        # constant timestamps -> unchanged
+        same_ts = np.full(100, 0.5)
+        np.testing.assert_array_equal(
+            SLAMDataset.deskew(pts, same_ts, T), pts)

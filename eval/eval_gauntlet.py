@@ -33,6 +33,7 @@ def main():
                    help="range noise sigma [m]")
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="eval/gauntlet_results.json")
+    p.add_argument("--no-pgo", action="store_true")
     a = p.parse_args()
 
     if a.cpu:
@@ -60,7 +61,7 @@ def main():
 
     cfg = Config()
     cfg.track_on = True
-    cfg.pgo_on = True
+    cfg.pgo_on = not a.no_pgo
     cfg.max_range = 60.0
     cfg.min_range = 0.5
     cfg.vox_down_m = 0.08
@@ -94,7 +95,7 @@ def main():
     system = PinSLAMSystem(cfg)
     # SLAM (not mapping) evaluation: no gt handed to the system beyond
     # frame 0
-    loop_mgr = LoopPgoManager(cfg, system)
+    loop_mgr = LoopPgoManager(cfg, system) if cfg.pgo_on else None
 
     rng = np.random.RandomState(7)
     gt_points = []
@@ -107,7 +108,8 @@ def main():
             pts = pts.copy()
             pts[:, :3] *= 1.0 + (a.noise * rng.randn(pts.shape[0], 1)
                                  / np.maximum(d, 1.0))
-        hook = (lambda f, _p=pts: loop_mgr.after_frame(f, _p))
+        hook = (None if loop_mgr is None else
+                (lambda f, _p=pts: loop_mgr.after_frame(f, _p)))
         system.process_frame(fid, pts, loop_hook=hook)
         if fid % 3 == 0:
             w = np.asarray(transform_points(
@@ -118,7 +120,8 @@ def main():
             el = time.time() - t0
             print(f"frame {fid}/{len(seq)} ({el / (fid + 1) * 1e3:.0f} "
                   f"ms/frame, map {int(system.state.count)}, "
-                  f"loops {loop_mgr.pgo_count})", file=sys.stderr)
+                  f"loops {0 if loop_mgr is None else loop_mgr.pgo_count}, "
+                  f"lost {system.lose_track})", file=sys.stderr)
 
     n = len(seq)
     lengths = (10, 20, 30, 40, 50)   # scene-scaled drift segments
@@ -147,7 +150,7 @@ def main():
     results = {
         "frames": n,
         "trajectory_length_m": float(2 * np.pi * 8.0 * a.laps),
-        "loop_closures": int(loop_mgr.pgo_count),
+        "loop_closures": 0 if loop_mgr is None else int(loop_mgr.pgo_count),
         "slam": {"ATE_RMSE_m": ate_s, "ARE_deg": are_s,
                  "drift_t_pct": dt_s, "drift_r_deg_per_m": dr_s},
         "odom": {"ATE_RMSE_m": ate_o, "ARE_deg": are_o,

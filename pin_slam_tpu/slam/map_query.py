@@ -50,6 +50,12 @@ class QueryParams(NamedTuple):
                                # neural_points.query_neighbors
     idw_index: int = 2        # IDW exponent (reference: utils/config.py:99)
     mlp_leaky_relu: bool = False  # decoder activation (ref decoder.py:69-75)
+    # radius bound for the spatial-join probe: the reference's candidate
+    # set is points stored in cells of the (num_nei_cells+alpha)-ball, i.e.
+    # distances up to ~(ball_r + sqrt(3)/2) cells; the validity bound
+    # max_dist2 alone (3*(n+1)^2 cells^2) is far looser and would admit
+    # neighbors the reference never sees
+    join_max_dist2: float = 0.0
 
     @property
     def offsets_np(self) -> np.ndarray:
@@ -60,6 +66,8 @@ def make_query_params(config, after_pgo: bool = True) -> QueryParams:
     from pin_slam_tpu.ops import hash3d
 
     offs = hash3d.neighbor_offsets(config.num_nei_cells, config.search_alpha)
+    ball_r = float(np.sqrt((offs.astype(np.float64) ** 2).sum(-1).max()))
+    join_r = (ball_r + np.sqrt(3.0) / 2.0) * config.voxel_size_m
     return QueryParams(
         offsets=tuple(map(tuple, offs.tolist())),
         resolution=config.voxel_size_m,
@@ -72,6 +80,10 @@ def make_query_params(config, after_pgo: bool = True) -> QueryParams:
         probe_mode=_resolve_probe_mode(getattr(config, "probe_mode", "auto")),
         idw_index=config.idw_index,
         mlp_leaky_relu=config.mlp_leaky_relu,
+        join_max_dist2=float(min(
+            hash3d.max_valid_dist2(config.num_nei_cells,
+                                   config.voxel_size_m),
+            join_r ** 2)),
     )
 
 
@@ -147,7 +159,8 @@ def query_decode(
 
     if lset is not None:
         qn = npm.query_neighbors_join(
-            state, q_abs, lset, nn_k=qp.nn_k, max_dist2=qp.max_dist2,
+            state, q_abs, lset, nn_k=qp.nn_k,
+            max_dist2=qp.join_max_dist2,
             resolution=qp.resolution, local_ids=True)
     else:
         kwargs = {}
@@ -282,7 +295,7 @@ def numerical_grad_from_neighbors(
     q6 = qpts[None, :, :] + shifts[:, None, :]        # [6, M, 3]
     diff = q6[:, :, None, :] - pos[None]              # [6, M, k, 3]
     d2 = jnp.sum(diff * diff, axis=-1)                # [6, M, k]
-    valid = qn.valid[None] & (d2 <= qp.max_dist2)
+    valid = qn.valid[None] & (d2 <= qp.join_max_dist2)
     d2 = jnp.where(valid, d2, npm.BIG_DIST2)
     if qp.idw_index == 2:
         wraw = 1.0 / (d2 + 1e-15)
@@ -301,6 +314,142 @@ def numerical_grad_from_neighbors(
     else:
         per = sdf_apply(geo_mlp, gv, qp.sdf_scale,
                         qp.mlp_leaky_relu)            # [6, M, k]
+        s = jnp.sum(per * w, axis=-1)
+    gx = (s[0] - s[1]) / (2 * eps)
+    gy = (s[2] - s[3]) / (2 * eps)
+    gz = (s[4] - s[5]) / (2 * eps)
+    return jnp.stack([gx, gy, gz], axis=-1)
+
+
+def decode_sdf_candidates(
+    lset,
+    geo_features: jnp.ndarray,   # [L+1, F] compact
+    geo_mlp,
+    qpts_abs: jnp.ndarray,       # [N, 3] absolute world
+    cand: jnp.ndarray,           # [N, K] local candidate ids
+    cvalid: jnp.ndarray,         # [N, K]
+    qp: QueryParams,
+    with_std: bool = False,
+):
+    """SDF decode from a CACHED candidate set (exact top-k re-ranking by
+    true distance). Used by the tracker to skip re-probing while the pose
+    moves less than a fraction of a voxel between GN iterations.
+    Differentiable w.r.t. qpts_abs. Returns (sdf [N], nn_count [N],
+    std or None)."""
+    from pin_slam_tpu.models import neural_points as npm_
+
+    K = cand.shape[1]
+    ci = jnp.where(cvalid, cand, lset.cap)
+    pos = lset.pts[ci]                                  # [N, K, 3]
+    diff = qpts_abs[:, None, :] - pos
+    d2 = jnp.sum(diff * diff, axis=-1)
+    use = cvalid & (d2 <= qp.join_max_dist2)
+    d2m = jnp.where(use, d2, npm.BIG_DIST2)
+    nn_count = jnp.sum(use, axis=-1).astype(jnp.int32)
+
+    # exact top-k selection mask (discrete; gradients flow through the
+    # distances of the selected neighbors only, as in the full query)
+    sel = jnp.zeros_like(use)
+    dwork = jax.lax.stop_gradient(d2m)
+    for _ in range(qp.nn_k):
+        a = jnp.argmin(dwork, axis=-1)
+        hit = jax.nn.one_hot(a, K, dtype=bool)
+        ok = jnp.take_along_axis(dwork, a[..., None], -1)[..., 0] \
+            < npm.BIG_DIST2
+        sel = sel | (hit & ok[..., None])
+        dwork = jnp.where(hit, npm.BIG_DIST2, dwork)
+    use = use & sel
+
+    if qp.idw_index == 2:
+        wraw = 1.0 / (d2 + 1e-15)
+    else:
+        wraw = 1.0 / (jnp.sqrt(jnp.maximum(d2, 0.0)) ** qp.idw_index
+                      + 1e-15)
+    w = jnp.where(use, wraw, 0.0)
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-15)
+    vec = jnp.where(use[..., None], diff, 0.0)
+    if qp.after_pgo and lset.quat is not None:
+        vec = npm_.quat_rotate(lset.quat[ci], vec)
+        vec = jnp.where(use[..., None], vec, 0.0)
+    feats = _maybe_layer_norm(geo_features[ci], qp.layer_norm_on)
+    gv = jnp.concatenate([feats, vec], axis=-1)
+    if qp.weighted_first:
+        fused = jnp.sum(gv * w[..., None], axis=1)
+        sdf = sdf_apply(geo_mlp, fused, qp.sdf_scale, qp.mlp_leaky_relu)
+        return sdf, nn_count, None
+    per = sdf_apply(geo_mlp, gv, qp.sdf_scale, qp.mlp_leaky_relu)
+    sdf, std = weighted_reduce(per, w, with_std=with_std)
+    return sdf, nn_count, std
+
+
+def numerical_grad_shared_join(
+    lset,
+    geo_features: jnp.ndarray,   # [L+1, F] compact
+    geo_mlp,
+    qpts: jnp.ndarray,           # [M, 3] decimated base points
+    eps: float,
+    qp: QueryParams,
+    cand_k: int = 12,
+):
+    """Two-sided numerical SDF gradient sharing ONE k=12 candidate join
+    across the six +-eps shifted queries (reference semantics:
+    utils/mapper.py:986-1036 re-queries the map six times). The shifted
+    points re-rank the base candidates exactly (top-6 of 12 by true
+    distance with the radius bound), so for eps << voxel size the result
+    matches the full re-query while costing one join instead of six.
+
+    Returns grad [M, 3]; differentiable w.r.t. geo_features/geo_mlp."""
+    from pin_slam_tpu.models import neural_points as npm_
+
+    m = qpts.shape[0]
+    qn = npm_.query_neighbors_join(
+        None, jax.lax.stop_gradient(qpts), lset, nn_k=cand_k,
+        max_dist2=qp.join_max_dist2, resolution=qp.resolution,
+        local_ids=True)
+    pos = lset.pts[qn.idx]                              # [M, 12, 3]
+    feats = _maybe_layer_norm(geo_features[qn.idx], qp.layer_norm_on)
+
+    shifts = jnp.array(
+        [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],
+         [0, -eps, 0], [0, 0, eps], [0, 0, -eps]], qpts.dtype)
+    q6 = qpts[None, :, :] + shifts[:, None, :]          # [6, M, 3]
+    diff = q6[:, :, None, :] - pos[None]                # [6, M, 12, 3]
+    d2 = jnp.sum(diff * diff, axis=-1)
+    valid = qn.valid[None] & (d2 <= qp.join_max_dist2)
+    d2m = jnp.where(valid, d2, npm.BIG_DIST2)
+
+    # exact top-6 among the 12 candidates per shifted query, expressed as
+    # a selection mask (cheap 6-round argmin over width 12)
+    sel = jnp.zeros_like(d2m, dtype=bool)
+    dwork = d2m
+    for _ in range(qp.nn_k):
+        a = jnp.argmin(dwork, axis=-1)                  # [6, M]
+        hit = jax.nn.one_hot(a, cand_k, dtype=bool)
+        ok = jnp.take_along_axis(dwork, a[..., None], -1)[..., 0] \
+            < npm.BIG_DIST2
+        sel = sel | (hit & ok[..., None])
+        dwork = jnp.where(hit, npm.BIG_DIST2, dwork)
+
+    use = valid & sel
+    if qp.idw_index == 2:
+        wraw = 1.0 / (d2 + 1e-15)
+    else:
+        wraw = 1.0 / (jnp.sqrt(jnp.maximum(d2, 0.0)) ** qp.idw_index
+                      + 1e-15)
+    w = jnp.where(use, wraw, 0.0)
+    w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-15)
+    vec = jnp.where(use[..., None], diff, 0.0)
+    if qp.after_pgo and lset.quat is not None:
+        vec = npm_.quat_rotate(lset.quat[qn.idx][None], vec)
+        vec = jnp.where(use[..., None], vec, 0.0)
+    gv = jnp.concatenate(
+        [jnp.broadcast_to(feats[None], (6, m, cand_k, feats.shape[-1])),
+         vec], axis=-1)
+    if qp.weighted_first:
+        fused = jnp.sum(gv * w[..., None], axis=2)      # [6, M, F+3]
+        s = sdf_apply(geo_mlp, fused, qp.sdf_scale, qp.mlp_leaky_relu)
+    else:
+        per = sdf_apply(geo_mlp, gv, qp.sdf_scale, qp.mlp_leaky_relu)
         s = jnp.sum(per * w, axis=-1)
     gx = (s[0] - s[1]) / (2 * eps)
     gy = (s[2] - s[3]) / (2 * eps)

@@ -342,12 +342,18 @@ def mapping_loss(
             g = mq.numerical_grad_from_neighbors(
                 state, params["geo_features"], params["geo_mlp"], dec,
                 qn_dec, numerical_grad_eps, qp)
+        elif lset is not None:
+            # one shared k=12 candidate join re-ranked per shift — exact
+            # for eps << voxel (see numerical_grad_shared_join)
+            g = mq.numerical_grad_shared_join(
+                lset, params["geo_features"], params["geo_mlp"], dec,
+                numerical_grad_eps, qp)
         else:
             # full shifted queries (reference semantics,
             # utils/mapper.py:986-1036)
             g = mq.query_sdf_numerical_grad(
                 state, params["geo_features"], params["geo_mlp"], dec,
-                numerical_grad_eps, qp, lf=lf, lset=lset)
+                numerical_grad_eps, qp, lf=lf)
         eik_loss = L.eikonal_loss(g, mask[::gradient_decimation])
         total = total + weight_e * eik_loss
 

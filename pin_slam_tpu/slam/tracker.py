@@ -152,6 +152,53 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         )
         return H, g, res_cm, vcount, mse, w, valid
 
+    # cached-candidate registration (join mode, geometry-only): probe a
+    # k=12 candidate set, reuse it across GN iterations while the pose
+    # moves < a fraction of a voxel, re-ranking to the exact top-6 by true
+    # distance every iteration. ~4x fewer kernel probes per track.
+    CAND_K = 12
+    REPROBE_FRAC = 0.35
+
+    def registration_quantities_cached(geo_features, geo_mlp, pts, src_mask,
+                                       anchor, lset, cand, cvalid):
+        def sdf_fn(p):
+            s, nn, std = mq.decode_sdf_candidates(
+                lset, geo_features, geo_mlp, p + anchor, cand, cvalid, qp,
+                with_std=not tp.weighted_first)
+            return jnp.sum(s), (s, nn, std)
+
+        grad, (sdf, nn_count, std) = jax.grad(
+            sdf_fn, has_aux=True)(pts)
+        grad_norm = jnp.linalg.norm(grad, axis=-1)
+        valid = (
+            src_mask
+            & (nn_count >= tp.mask_min_nn_count)
+            & (grad_norm > tp.min_grad_norm)
+            & (grad_norm < tp.max_grad_norm)
+        )
+        if not tp.weighted_first and std is not None:
+            valid = valid & (std < tp.max_sdf_std)
+
+        residual = sdf
+        grad_anomaly = grad_norm - 1.0
+        w_grad = (tp.gm_grad / (tp.gm_grad + grad_anomaly**2)) ** 2
+        w_res = (tp.gm_dist / (tp.gm_dist + residual**2)) ** 2
+        w = jnp.where(valid, w_grad * w_res, 0.0)
+        vcount = jnp.sum(valid.astype(jnp.int32))
+        w_mean = jnp.sum(w) / jnp.maximum(vcount.astype(jnp.float32), 1.0)
+        w = w / (2.0 * w_mean + 1e-12)
+
+        cross = jnp.cross(pts, grad)
+        J = jnp.concatenate([cross, grad], axis=-1)
+        Jw = J * w[:, None]
+        H = Jw.T @ J
+        g = -(Jw.T @ residual)
+        res_cm = (jnp.sum(jnp.where(valid, jnp.abs(residual), 0.0))
+                  / jnp.maximum(vcount.astype(jnp.float32), 1.0) * 100.0)
+        mse = (jnp.sum(w * residual**2)
+               / jnp.maximum(vcount.astype(jnp.float32), 1.0))
+        return H, g, res_cm, vcount, mse, w, valid
+
     def track(state: npm.MapState, geo_features, geo_mlp,
               src: jnp.ndarray, src_mask: jnp.ndarray,
               init_T: jnp.ndarray, lf: mq.LocalFilter,
@@ -161,17 +208,43 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         S = src.shape[0]
         src_count = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1)
         min_ratio = 0.15 if loop_reg else tp.min_valid_ratio
+        use_cache = (lset is not None) and not use_color
+        src_rmax = jnp.max(jnp.where(src_mask,
+                                     jnp.linalg.norm(src, axis=1), 0.0))
+
+        def probe(pts_abs):
+            qn = npm.query_neighbors_join(
+                None, pts_abs, lset, nn_k=CAND_K,
+                max_dist2=qp.join_max_dist2,
+                resolution=qp.resolution, local_ids=True)
+            return qn.idx, qn.valid
 
         def body(carry):
             (T, i, last_res, valid_flag, converged, stop,
              H_keep, res_keep, cnt_keep, mse_keep, fail_code,
-             w_keep, vmask_keep) = carry
+             w_keep, vmask_keep, cand, cvalid, probe_T) = carry
 
             pts = src @ T[:3, :3].T + T[:3, 3]
-            H, g, res_cm, vcount, mse, w_pts, vmask = \
-                registration_quantities(
-                    state, geo_features, geo_mlp, pts, src_mask, lf, anchor,
-                    src_intensity, color_features, color_mlp, lset)
+            if use_cache:
+                dt = jnp.linalg.norm(T[:3, 3] - probe_T[:3, 3])
+                ang = rotation_angle(T[:3, :3] @ probe_T[:3, :3].T)
+                moved = dt + 2.0 * jnp.sin(
+                    jnp.minimum(ang * 0.5, jnp.pi / 2)) * src_rmax
+                need = (i == 0) | (moved > REPROBE_FRAC * qp.resolution)
+                cand, cvalid = jax.lax.cond(
+                    need, lambda: probe(pts + anchor),
+                    lambda: (cand, cvalid))
+                probe_T = jnp.where(need, T, probe_T)
+                H, g, res_cm, vcount, mse, w_pts, vmask = \
+                    registration_quantities_cached(
+                        geo_features, geo_mlp, pts, src_mask, anchor,
+                        lset, cand, cvalid)
+            else:
+                H, g, res_cm, vcount, mse, w_pts, vmask = \
+                    registration_quantities(
+                        state, geo_features, geo_mlp, pts, src_mask, lf,
+                        anchor, src_intensity, color_features, color_mlp,
+                        lset)
 
             H_lm = H + tp.lm_lambda * jnp.diag(jnp.diag(H))
             enough = vcount >= 10
@@ -203,7 +276,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
 
             return (T_new, i + 1, last_res, valid_new, converged_new,
                     stop_new, H, res_cm, vcount, mse, fail_code,
-                    w_pts, vmask)
+                    w_pts, vmask, cand, cvalid, probe_T)
 
         def cond(carry):
             (_, i, _, _, _, stop, *_rest) = carry
@@ -215,9 +288,12 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
             jnp.eye(6), jnp.float32(0.0), jnp.int32(0), jnp.float32(0.0),
             jnp.int32(0), jnp.zeros((S,), jnp.float32),
             jnp.zeros((S,), bool),
+            jnp.zeros((S, CAND_K), jnp.int32),
+            jnp.zeros((S, CAND_K), bool),
+            jnp.full((4, 4), 1e6, jnp.float32),  # forces the first probe
         )
         (T, iters, _, valid_flag, _, _, H_raw, res_cm, vcount, mse,
-         fail_code, w_final, valid_final) = jax.lax.while_loop(
+         fail_code, w_final, valid_final, _, _, _) = jax.lax.while_loop(
             cond, body, init)
 
         # final checks (reference: utils/tracker.py:198-216)

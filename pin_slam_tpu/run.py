@@ -62,6 +62,7 @@ def run_pin_slam(
     save_mesh: bool = False,
     save_merged_pc: bool = False,
     deskew: bool = False,
+    visualize: bool = False,
     config: Optional[Config] = None,
     argv=None,
 ):
@@ -78,6 +79,8 @@ def run_pin_slam(
     config.save_merged_pc = config.save_merged_pc or save_merged_pc
     if deskew:
         config.deskew = True
+    if visualize:
+        config.o3d_vis_on = True
     if frame_range:
         config.begin_frame, config.end_frame, config.step_frame = frame_range
     if input_path:
@@ -132,6 +135,14 @@ def run_pin_slam(
                        min_cluster_vertices=0,
                        infer_bs=config.infer_bs_final))
 
+    # spawned viewer process + control/vis queues (reference:
+    # pin_slam.py:200-217,412-433)
+    viewer = q_main2vis = q_vis2main = None
+    vis_state = {}
+    if config.o3d_vis_on:
+        from pin_slam_tpu.gui import start_viewer
+        viewer, q_main2vis, q_vis2main = start_viewer(run_path)
+
     t_start = time.time()
     for frame_id in range(dataset.total_pc_count):
         points, point_ts, sem_labels = dataset.read_frame_sem(frame_id)
@@ -149,8 +160,39 @@ def run_pin_slam(
                              loop_hook=hook,
                              sem_labels=sem_labels
                              if config.semantic_on else None)
+        mesh_vf = (None, None)
         if visualizer is not None:
-            visualizer.on_frame(system, frame_id, vis_mesher)
+            mesh_vf = visualizer.on_frame(system, frame_id, vis_mesher)
+        if viewer is not None:
+            from pin_slam_tpu.gui import VisPacket, apply_control
+            vis_state = apply_control(q_vis2main, vis_state,
+                                      max_pause_s=600.0)
+            el = time.time() - t_start
+            pkt = VisPacket(frame_id=frame_id,
+                            travel_dist=system.travel_dist[frame_id],
+                            cur_fps=(frame_id + 1) / max(el, 1e-9))
+            T = system.cur_pose_ref
+            pkt.add_scan(points[:: 5, :3] @ T[:3, :3].T + T[:3, 3])
+            pkt.add_traj(system.odom_poses[: frame_id + 1],
+                         dataset.gt_poses[: frame_id + 1]
+                         if dataset.gt_pose_provided else None,
+                         system.pgo_poses[: frame_id + 1]
+                         if config.pgo_on else None,
+                         loop_edges=loop_mgr.pgm.loop_edges
+                         if loop_mgr is not None else None)
+            if mesh_vf[0] is not None:
+                pkt.add_mesh(mesh_vf[0], mesh_vf[1])
+            if frame_id % 20 == 0:
+                cnt = int(system.state.count)
+                if cnt:
+                    stride = max(1, cnt // 40000)
+                    pkt.add_neural_points_data(
+                        np.asarray(system.state.positions[:cnt:stride]),
+                        count=cnt,
+                        map_memory_mb=system.map_memory_mb(),
+                        resolution=config.voxel_size_m,
+                        pca_color_on=False)
+            q_main2vis.put(pkt)
         # periodic pose-log snapshots (reference: write_results_log,
         # dataset/slam_dataset.py:646-666)
         if config.log_freq_frame > 0 and \
@@ -173,6 +215,9 @@ def run_pin_slam(
     if visualizer is not None:
         visualizer.finalize(system, n, dataset.gt_poses
                             if dataset.gt_pose_provided else None)
+    if viewer is not None:
+        from pin_slam_tpu.gui import stop_viewer
+        stop_viewer(viewer, q_main2vis)
 
     if loop_mgr is not None and loop_mgr.pgo_count > 0:
         loop_mgr.write_g2o(os.path.join(run_path, "final_pose_graph.g2o"))
@@ -266,12 +311,14 @@ def main():
     p.add_argument("-m", "--save-mesh", action="store_true")
     p.add_argument("-p", "--save-merged-pc", action="store_true")
     p.add_argument("--deskew", action="store_true")
+    p.add_argument("-v", "--visualize", action="store_true",
+                   help="spawn the viewer process (headless renderer)")
     a = p.parse_args()
     metrics = run_pin_slam(
         a.config_path, a.dataset_name, a.sequence_name, a.input_path,
         a.output_path, tuple(a.range) if a.range else None, a.seed,
         a.data_loader_on, a.cpu_only, a.log_on, a.save_map, a.save_mesh,
-        a.save_merged_pc, a.deskew, argv=None)
+        a.save_merged_pc, a.deskew, a.visualize, argv=None)
     if metrics:
         print(metrics)
 

@@ -335,3 +335,63 @@ class ScanContextManager:
                 self.contexts_feature[int(k)] = z["contexts_feature"][i]
                 self.ringkeys_feature[int(k)] = z["ringkeys_feature"][i]
         return z["poses"]
+
+
+class GTLoopManager:
+    """Ground-truth loop oracle for debugging the PGO path in isolation
+    (reference: utils/loop_detector.py:376-440). Detects a loop when the
+    trajectory revisits a GT position it travelled far away from, and
+    returns the GT relative transform — so detector errors can be ruled
+    out when diagnosing pose-graph or deformation issues."""
+
+    def __init__(self, config=None, max_loop_dist: float = 10.0,
+                 min_travel_dist_ratio: float = 2.5,
+                 exclude_recent_nodes: int = 30,
+                 min_travel_dist: float = 30.0):
+        self.max_loop_dist = max_loop_dist
+        self.min_travel_dist_ratio = min_travel_dist_ratio
+        self.exclude_recent_nodes = exclude_recent_nodes
+        self.min_travel_dist = min_travel_dist
+        self.gt_position: list = []
+        self.gt_pose: list = []
+        self.travel_dist: list = []
+        self.min_loop_idx = int(1e9)
+        self.curr_node_idx = 0
+
+    def add_node(self, node_idx: int, gt_pose: np.ndarray):
+        gt_pose = np.asarray(gt_pose, np.float64)
+        assert node_idx == len(self.gt_pose), "nodes must be added in order"
+        self.curr_node_idx = node_idx
+        self.gt_position.append(gt_pose[:3, 3])
+        self.gt_pose.append(gt_pose)
+        if node_idx == 0:
+            self.travel_dist.append(0.0)
+        else:
+            step = float(np.linalg.norm(
+                self.gt_position[node_idx] - self.gt_position[node_idx - 1]))
+            self.travel_dist.append(self.travel_dist[node_idx - 1] + step)
+
+    def detect_loop(self):
+        """Returns (loop_index, loop_dist, T_loop<-current) or
+        (None, None, None)."""
+        valid_recent = self.curr_node_idx - self.exclude_recent_nodes
+        if valid_recent <= 0:
+            return None, None, None
+        past = np.stack(self.gt_position[:valid_recent])
+        dist_to_past = np.linalg.norm(
+            self.gt_position[self.curr_node_idx] - past, axis=1)
+        travel_to_past = (self.travel_dist[self.curr_node_idx]
+                          - np.asarray(self.travel_dist[:valid_recent]))
+        cand = ((travel_to_past > self.min_travel_dist_ratio * dist_to_past)
+                & (travel_to_past > self.min_travel_dist))
+        cand_idx = np.where(cand)[0]
+        if cand_idx.size == 0:
+            return None, None, None
+        best = cand_idx[np.argmin(dist_to_past[cand])]
+        loop_dist = float(dist_to_past[best])
+        if loop_dist >= self.max_loop_dist:
+            return None, None, None
+        loop_trans = (np.linalg.inv(self.gt_pose[best])
+                      @ self.gt_pose[self.curr_node_idx])
+        self.min_loop_idx = min(self.min_loop_idx, int(best))
+        return int(best), loop_dist, loop_trans

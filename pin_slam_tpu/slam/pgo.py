@@ -320,6 +320,46 @@ class PoseGraphManager:
                 f.write(f"{edge[0]} {edge[1]} "
                         + " ".join(str(v) for v in T.reshape(-1)) + "\n")
 
+    def read_loops(self, path: str, subsample_rate: int = 1) -> bool:
+        """Read a loop log written by write_loops (reference:
+        utils/pgo.py:252-282 reads its own 5-line format; ours is one
+        line per loop: `loop_id frame_id T00 T01 ... T33`)."""
+        self.loop_edges = []
+        self.loop_trans = []
+        try:
+            with open(path) as f:
+                lines = f.readlines()
+        except IOError:
+            return False
+        for line in lines[::max(subsample_rate, 1)]:
+            vals = line.split()
+            if len(vals) < 2 + 16:
+                continue
+            self.loop_edges.append(
+                np.array([int(vals[0]), int(vals[1])]))
+            self.loop_trans.append(
+                np.array([float(v) for v in vals[2:18]],
+                         np.float64).reshape(4, 4))
+        return True
+
+    def offline_pgo(self, odom_poses: np.ndarray) -> np.ndarray:
+        """Replay pose-graph optimization from an odometry trajectory plus
+        loaded loop data — the reference's loop-closure debugging workflow
+        (reference: utils/pgo.py:284-314). Returns the optimized poses."""
+        odom_poses = np.asarray(odom_poses, np.float64)
+        self.nodes = {}
+        self.edges = []
+        n = len(odom_poses)
+        for i in range(n):
+            self.add_frame_node(i, odom_poses[i])
+        for i in range(n - 1):
+            T_rel = np.linalg.inv(odom_poses[i]) @ odom_poses[i + 1]
+            self.add_odometry_factor(i + 1, i, T_rel)
+        for (edge, T) in zip(self.loop_edges, self.loop_trans):
+            self.add_loop_factor(int(edge[1]), int(edge[0]), T)
+        self.optimize_pose_graph()
+        return self.pgo_poses
+
 
 def _inv_batch(T: np.ndarray) -> np.ndarray:
     out = np.zeros_like(T)

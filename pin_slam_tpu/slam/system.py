@@ -426,6 +426,25 @@ class PinSLAMSystem:
     def set_gt_poses(self, gt: np.ndarray):
         self.gt_poses = gt
 
+    def map_memory_mb(self, used_only: bool = True) -> float:
+        """Neural-point map memory in MB (reference:
+        model/neural_points.py:160-173 record_memory). With
+        `used_only`, scales the preallocated fixed-capacity arrays by
+        count/capacity — the reference's grow-on-demand equivalent."""
+        s = self.state
+        per_point = sum(
+            a.dtype.itemsize * int(np.prod(a.shape[1:])) * (a.shape[0] - 1)
+            for a in (s.positions, s.orientations, s.geo_features,
+                      s.ts_create, s.ts_update, s.certainty)
+            if a is not None)
+        if s.color_features is not None:
+            per_point += s.color_features.dtype.itemsize * \
+                s.color_features.shape[1] * (s.color_features.shape[0] - 1)
+        aux = s.table.nbytes + s.btable.nbytes
+        frac = (int(self.state.count) / max(s.capacity, 1)) if used_only \
+            else 1.0  # count pull costs a device RTT; call on a cadence
+        return (per_point * frac + aux) / (1024.0 ** 2)
+
     # ------------------------------------------------------------ main loop
 
     def load_map(self, path: str):

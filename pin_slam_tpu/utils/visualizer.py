@@ -51,7 +51,10 @@ class FileVisualizer:
         self._pca = None
 
     def on_frame(self, system, frame_id: int, mesher=None):
+        """Dump cadence artifacts; returns (mesh_verts, mesh_faces) when a
+        local mesh was built this frame (fed to the viewer process)."""
         c = self.config
+        mesh_out = (None, None)
         if c.sdf_default_on and frame_id % max(c.sdfslice_freq_frame, 1) == 0 \
                 and mesher is not None:
             from pin_slam_tpu.utils.plots import plot_sdf_slice
@@ -77,6 +80,8 @@ class FileVisualizer:
             if v.shape[0]:
                 write_ply(os.path.join(
                     self.dir, f"mesh_{frame_id:05d}.ply"), v, f)
+                mesh_out = (v, f)
+        return mesh_out
 
     def write_neural_points(self, system, name: str = "neural_points_pca"):
         """Neural point map colored by geo-feature PCA."""

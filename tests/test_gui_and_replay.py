@@ -1,0 +1,177 @@
+"""Viewer process/queue architecture + offline PGO replay + GT loop oracle
+(reference: gui/gui_utils.py, pin_slam.py:200-217,412-433,
+utils/pgo.py:252-314, utils/loop_detector.py:376-440)."""
+
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+
+# --------------------------------------------------------------- gui_utils
+
+def test_get_latest_queue_latest_wins():
+    import queue as q_mod
+    from pin_slam_tpu.gui import get_latest_queue
+
+    q = q_mod.Queue()
+    for i in range(5):
+        q.put(i)
+    assert get_latest_queue(q) == 4
+    assert get_latest_queue(q) is None
+
+
+def test_vispacket_fields_roundtrip():
+    from pin_slam_tpu.gui import VisPacket
+
+    pkt = VisPacket(frame_id=3, travel_dist=12.5, cur_fps=9.0)
+    pkt.add_scan(np.random.rand(10, 3))
+    pkt.add_mesh(np.random.rand(4, 3), np.array([[0, 1, 2]]))
+    pkt.add_traj(np.tile(np.eye(4), (3, 1, 1)))
+    pkt.add_neural_points_data(np.random.rand(20, 3), count=20,
+                               map_memory_mb=1.0, resolution=0.3,
+                               pca_color_on=False)
+    assert pkt.slam_poses is not None          # defaults to odom
+    assert pkt.has_neural_points
+    assert pkt.mesh_faces.dtype == np.int32
+    assert not pkt.finish
+
+
+def test_apply_control_pause_until_resumed():
+    import queue as q_mod
+    from pin_slam_tpu.gui import ControlPacket, apply_control
+
+    q = q_mod.Queue()
+    paused = ControlPacket()
+    paused.flag_pause = True
+    paused.mesh_freq_frame = 7
+    q.put(paused)
+
+    def resume():
+        time.sleep(0.3)
+        cp = ControlPacket()
+        cp.flag_pause = False
+        q.put(cp)
+
+    t = threading.Thread(target=resume)
+    t.start()
+    t0 = time.time()
+    state = apply_control(q, {}, sleep_s=0.05, max_pause_s=5.0)
+    elapsed = time.time() - t0
+    t.join()
+    assert 0.2 < elapsed < 3.0                 # actually blocked, then woke
+    assert state["mesh_freq_frame"] == 7
+
+
+def test_viewer_process_end_to_end(tmp_path):
+    """Spawn the real viewer process, feed packets, check it renders and
+    exits cleanly on the finish packet (the reference's process/queue
+    lifecycle, pin_slam.py:200-217,546-563)."""
+    from pin_slam_tpu.gui import VisPacket, start_viewer, stop_viewer
+
+    proc, q_m2v, q_v2m = start_viewer(str(tmp_path), render_every=1)
+    try:
+        for fid in range(2):
+            pkt = VisPacket(frame_id=fid, travel_dist=float(fid))
+            pkt.add_scan(np.random.rand(50, 3).astype(np.float32))
+            pkt.add_traj(np.tile(np.eye(4), (fid + 1, 1, 1)))
+            q_m2v.put(pkt)
+            time.sleep(0.3)
+        # control file -> ControlPacket back on q_vis2main
+        gui_dir = tmp_path / "gui"
+        gui_dir.mkdir(exist_ok=True)
+        (gui_dir / "control.yaml").write_text("mesh_freq_frame: 13\n")
+        deadline = time.time() + 20
+        cp = None
+        while time.time() < deadline and cp is None:
+            try:
+                cp = q_v2m.get(timeout=0.5)
+            except Exception:
+                pass
+        assert cp is not None and cp.mesh_freq_frame == 13
+    finally:
+        stop_viewer(proc, q_m2v, timeout_s=20.0)
+    assert not proc.is_alive()
+    assert (tmp_path / "gui" / "latest.npz").exists()
+    pngs = list((tmp_path / "gui").glob("view_*.png"))
+    assert len(pngs) >= 1
+
+
+# ------------------------------------------------------------- pgo replay
+
+def _circle_poses(n, radius=10.0):
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    ang = np.linspace(0, 2 * np.pi, n)
+    for i, a in enumerate(ang):
+        poses[i, 0, 0] = np.cos(a)
+        poses[i, 0, 1] = -np.sin(a)
+        poses[i, 1, 0] = np.sin(a)
+        poses[i, 1, 1] = np.cos(a)
+        poses[i, :2, 3] = radius * np.array([np.cos(a), np.sin(a)])
+    return poses
+
+
+def test_loop_log_roundtrip_and_offline_pgo(tmp_path):
+    from pin_slam_tpu.config import Config
+    from pin_slam_tpu.slam.pgo import PoseGraphManager
+
+    c = Config()
+    c.silence = True
+    n = 60
+    gt = _circle_poses(n)
+    # drifted odometry: grow a yaw+translation error along the loop
+    drift = np.eye(4)
+    odom = gt.copy()
+    for i in range(1, n):
+        rel = np.linalg.inv(gt[i - 1]) @ gt[i]
+        eps = np.eye(4)
+        th = 0.002
+        eps[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+        eps[0, 3] = 0.01
+        drift = drift @ rel @ eps
+        odom[i] = odom[i - 1] @ rel @ eps
+    # a GT loop closure between last and first frame
+    pgm = PoseGraphManager(c)
+    pgm.loop_edges = [np.array([0, n - 1])]
+    pgm.loop_trans = [np.linalg.inv(gt[0]) @ gt[n - 1]]
+    log = tmp_path / "loop_log.txt"
+    pgm.write_loops(str(log))
+
+    pgm2 = PoseGraphManager(c)
+    assert pgm2.read_loops(str(log))
+    assert len(pgm2.loop_edges) == 1
+    np.testing.assert_allclose(pgm2.loop_trans[0], pgm.loop_trans[0],
+                               atol=1e-9)
+
+    err_before = np.linalg.norm(odom[-1, :3, 3] - gt[-1, :3, 3])
+    opt = pgm2.offline_pgo(odom)
+    err_after = np.linalg.norm(opt[-1, :3, 3] - gt[-1, :3, 3])
+    assert err_after < 0.3 * err_before
+    assert pgm2.read_loops(str(tmp_path / "missing.txt")) is False
+
+
+# ---------------------------------------------------------- GT loop oracle
+
+def test_gt_loop_manager_detects_revisit():
+    from pin_slam_tpu.slam.loop_detector import GTLoopManager
+
+    mgr = GTLoopManager(exclude_recent_nodes=10, min_travel_dist=20.0)
+    gt = _circle_poses(80, radius=8.0)
+    found = None
+    for i in range(len(gt)):
+        mgr.add_node(i, gt[i])
+        idx, dist, T = mgr.detect_loop()
+        if idx is not None:
+            found = (i, idx, dist, T)
+    assert found is not None, "no loop found on a closed circle"
+    i, idx, dist, T = found
+    assert dist < 2.0 and idx < 12
+    # returned transform is the exact GT relative pose
+    np.testing.assert_allclose(
+        T, np.linalg.inv(gt[idx]) @ gt[i], atol=1e-9)
+    # early frames: no loop
+    mgr2 = GTLoopManager()
+    mgr2.add_node(0, gt[0])
+    assert mgr2.detect_loop() == (None, None, None)

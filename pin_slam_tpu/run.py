@@ -135,6 +135,11 @@ def run_pin_slam(
                        min_cluster_vertices=0,
                        infer_bs=config.infer_bs_final))
 
+    metrics_logger = None
+    if config.wandb_vis_on or log_on:
+        from pin_slam_tpu.utils.logger import MetricsLogger
+        metrics_logger = MetricsLogger(config, run_path)
+
     # spawned viewer process + control/vis queues (reference:
     # pin_slam.py:200-217,412-433)
     viewer = q_main2vis = q_vis2main = None
@@ -200,6 +205,13 @@ def run_pin_slam(
             np.save(os.path.join(run_path, "log",
                                  f"odom_poses_{frame_id:05d}.npy"),
                     system.odom_poses[: frame_id + 1])
+            if metrics_logger is not None:
+                row = {"travel_dist": system.travel_dist[frame_id],
+                       "map_memory_mb": system.map_memory_mb(),
+                       "lose_track": int(system.lose_track)}
+                if system.last_train_metrics is not None:
+                    row.update(system.last_train_metrics)
+                metrics_logger.log(row, step=frame_id)
         if not config.silence and frame_id % 10 == 0:
             el = time.time() - t_start
             print(f"frame {frame_id}/{dataset.total_pc_count} "
@@ -218,6 +230,10 @@ def run_pin_slam(
     if viewer is not None:
         from pin_slam_tpu.gui import stop_viewer
         stop_viewer(viewer, q_main2vis)
+    if metrics_logger is not None:
+        if metrics:
+            metrics_logger.log(metrics, step=n)
+        metrics_logger.finish()
 
     if loop_mgr is not None and loop_mgr.pgo_count > 0:
         loop_mgr.write_g2o(os.path.join(run_path, "final_pose_graph.g2o"))

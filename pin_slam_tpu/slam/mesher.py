@@ -205,16 +205,24 @@ class Mesher:
     def sdf_slice(
         self, state: npm.MapState, geo_features, geo_mlp,
         center: np.ndarray, extent: float, height: float,
-        res: Optional[float] = None,
+        res: Optional[float] = None, axis: str = "z",
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Horizontal SDF slice for visualization
-        (reference: utils/mesher.py:211-279). Returns (xs, ys, sdf[X,Y])."""
+        """SDF slice for visualization. `axis` is the slice normal: "z"
+        gives the horizontal slice at z=`height` (reference:
+        utils/mesher.py:211-279 generate_bbx_sdf_hor_slice); "x" or "y"
+        give vertical slices at x/y=`height` (reference:
+        utils/mesher.py:458-504 generate_bbx_sdf_ver_slice).
+        Returns (us, vs, sdf[U,V]) in the two in-plane axes."""
         res = res or self.mc.mc_res_m
-        xs = np.arange(center[0] - extent, center[0] + extent, res)
-        ys = np.arange(center[1] - extent, center[1] + extent, res)
+        ax = {"x": 0, "y": 1, "z": 2}[axis]
+        u_ax, v_ax = [a for a in range(3) if a != ax]
+        xs = np.arange(center[u_ax] - extent, center[u_ax] + extent, res)
+        ys = np.arange(center[v_ax] - extent, center[v_ax] + extent, res)
         gx, gy = np.meshgrid(xs, ys, indexing="ij")
-        pts = np.stack(
-            [gx, gy, np.full_like(gx, height)], -1).reshape(-1, 3)
+        cols = [None, None, None]
+        cols[u_ax], cols[v_ax] = gx, gy
+        cols[ax] = np.full_like(gx, height)
+        pts = np.stack(cols, -1).reshape(-1, 3)
         bs = self.mc.infer_bs
         n = pts.shape[0]
         sdf = np.zeros(n, np.float32)

@@ -119,6 +119,7 @@ class PinSLAMSystem:
         self.reboot_ts = 0
         self.decoder_freezed = c.decoder_freezed
         self.last_tracking = None  # TrackResult of the last frame
+        self.last_train_metrics = None  # device-scalar loss dict
         self.timings = []  # per-frame [preprocess, odometry, pgo, map_prep, map_opt]
         self.loop_edges = []
         self.new_obs_ratio = 1.0
@@ -741,6 +742,8 @@ class PinSLAMSystem:
             geo_features=self.params["geo_features"],
             color_features=self.params.get("color_features",
                                            self.state.color_features))
+        # device scalars; pulled only if a logger reads them on cadence
+        self.last_train_metrics = metrics
         return metrics
 
     def _update_odom_pose(self, frame_id: int, cur_pose: np.ndarray):

@@ -66,6 +66,17 @@ class FileVisualizer:
             plot_sdf_slice(
                 os.path.join(self.dir, f"sdf_slice_{frame_id:05d}.png"),
                 xs, ys, sdf, clim=2.0)
+            if c.vis_sdf_slice_v:
+                # vertical slice through the sensor (reference:
+                # utils/mesher.py:458-504)
+                ys_v, zs_v, sdf_v = mesher.sdf_slice(
+                    system.state, system.params["geo_features"],
+                    system.params["geo_mlp"], center, extent=20.0,
+                    height=center[0], res=c.vis_sdf_res_m, axis="x")
+                plot_sdf_slice(
+                    os.path.join(self.dir,
+                                 f"sdf_slice_v_{frame_id:05d}.png"),
+                    ys_v, zs_v, sdf_v, clim=2.0)
 
         if c.mesh_default_on and frame_id > 0 \
                 and frame_id % max(c.mesh_freq_frame, 1) == 0 \

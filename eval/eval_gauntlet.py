@@ -67,8 +67,11 @@ def main():
     cfg.vox_down_m = 0.08
     cfg.source_vox_down_m = 0.4
     cfg.voxel_size_m = 0.3
-    cfg.sigma_sigmoid_m = 0.1
+    cfg.sigma_sigmoid_m = 0.05
     cfg.surface_sample_range_m = 0.25
+    # 2 behind-surface samples: balances the front/behind supervision and
+    # removes the measured systematic z-sink on grazing-incidence floors
+    cfg.free_behind_n = 2
     cfg.loss_weight_on = True
     cfg.bs = 8192
     cfg.iters = 12
@@ -85,6 +88,15 @@ def main():
     cfg.silence = True
     cfg.finalize()
     cfg.pool_capacity = 3_000_000
+    # Scene-scaled loop/PGO geometry. finalize() sets local_map_radius =
+    # max_range+2 = 62 m, which must STAY that large (it is also the
+    # query-radius filter; the walls are ~25 m out). Scale the derived
+    # quantities via the ratios instead: travel-dist window 0.8*62 ~ 50 m
+    # (~1 lap, so lap-1 geometry ages out and loop closure has real work)
+    # and loop-candidate travel gate 0.65*62 ~ 40 m (< the 50 m lap, so
+    # lap-2 revisits genuinely become candidates).
+    cfg.local_map_travel_dist_ratio = 0.8
+    cfg.min_loop_travel_dist_ratio = 0.65
 
     seq = SyntheticSequence(
         scene_sdf=default_scene(half_extent=(22.0, 16.0, 4.0)),
@@ -125,8 +137,11 @@ def main():
 
     n = len(seq)
     lengths = (10, 20, 30, 40, 50)   # scene-scaled drift segments
-    slam_poses = system.pgo_poses[:n]
-    odom_poses = system.odom_poses[:n]
+    # The system is anchored at the frame-0 body frame (identity); GT
+    # starts on the circle with arbitrary heading. Re-anchor the estimates
+    # into the GT world frame so the strict (no-Umeyama) ATE is meaningful.
+    slam_poses = seq.poses[0] @ system.pgo_poses[:n]
+    odom_poses = seq.poses[0] @ system.odom_poses[:n]
     ate_s, are_s = absolute_error(seq.poses[:n], slam_poses, False)
     ate_o, are_o = absolute_error(seq.poses[:n], odom_poses, False)
     dt_s, dr_s = relative_error(seq.poses[:n], slam_poses, lengths, step=5)
@@ -172,6 +187,17 @@ def main():
     with open(a.out, "w") as fp:
         json.dump(results, fp, indent=2)
     print(json.dumps(results, indent=2))
+
+    # Post-hoc artifacts: trajectories + implicit map, so analysis/remesh
+    # doesn't need a re-run.
+    art = os.path.join(os.path.dirname(a.out), "gauntlet_out")
+    os.makedirs(art, exist_ok=True)
+    np.save(os.path.join(art, "gt_poses.npy"), seq.poses[:n])
+    np.save(os.path.join(art, "slam_poses.npy"), slam_poses)
+    np.save(os.path.join(art, "odom_poses.npy"), odom_poses)
+    from pin_slam_tpu.utils.map_io import save_implicit_map
+    save_implicit_map(os.path.join(art, "pin_map.npz"), system.state,
+                      system.params, cfg)
 
 
 if __name__ == "__main__":

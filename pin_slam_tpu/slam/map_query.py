@@ -180,10 +180,16 @@ def query_decode(
                     local_map_radius=lf.local_map_radius,
                 )
 
+        # "join" keeps no brick cache (maintain_btable=False in the frame
+        # update), so lset-less queries — mesher grids, BA, dynamic filter,
+        # vertex attributes — must probe the always-maintained cell table;
+        # falling through to the brick probe would read an empty btable and
+        # return nn_count=0 everywhere.
+        probe = "cells" if qp.probe_mode == "join" else qp.probe_mode
         qn = npm.query_neighbors(
             state, q_abs,
             offsets=qp.offsets_np, resolution=qp.resolution, nn_k=qp.nn_k,
-            max_dist2=qp.max_dist2, probe_mode=qp.probe_mode, **kwargs,
+            max_dist2=qp.max_dist2, probe_mode=probe, **kwargs,
         )
 
     # differentiable distance & offsets computed in the anchored frame

@@ -44,6 +44,25 @@ from pin_slam_tpu.slam import mapper as mp
 from pin_slam_tpu.slam import tracker as tk
 
 
+def compute_init_guess(uniform_motion: bool, motion_model: str,
+                       last_pose: np.ndarray,
+                       last_tran: np.ndarray) -> np.ndarray:
+    """Tracker initial guess (reference: slam_dataset.py:359-389).
+    "full" extrapolates the whole last relative motion; "translation"
+    extrapolates the translation rate but keeps the last orientation —
+    rotation-rate extrapolation feeds each frame's residual yaw error back
+    through the freshly-mapped sector and destabilizes sustained turns
+    (measured exponential yaw runaway on eval/eval_gauntlet.py scenes),
+    while rotation re-convergence from the last orientation is cheap."""
+    if not uniform_motion:
+        return last_pose.copy()
+    if motion_model == "translation":
+        init = last_pose.copy()
+        init[:3, 3] = (last_pose @ last_tran)[:3, 3]
+        return init
+    return last_pose @ last_tran
+
+
 def _pad_points(pts: np.ndarray, cap: int, attr_dim: int = 0):
     """Pad [N, 3+attr] to [cap, 3] + [cap, attr_dim]."""
     n = min(pts.shape[0], cap)
@@ -515,10 +534,9 @@ class PinSLAMSystem:
             self.last_pose_ref = self.cur_pose_ref
             init_guess = self.cur_pose_ref
         else:
-            if c.uniform_motion_on and not self.lose_track:
-                init_guess = self.last_pose_ref @ self.last_odom_tran
-            else:
-                init_guess = self.last_pose_ref
+            init_guess = compute_init_guess(
+                c.uniform_motion_on and not self.lose_track,
+                c.motion_model, self.last_pose_ref, self.last_odom_tran)
             if not c.track_on and self.gt_poses is not None:
                 init_guess = self.gt_poses[frame_id]
 

@@ -51,6 +51,16 @@ class TrackerParams(NamedTuple):
     color_mode: int = 0
     photometric_weight: float = 0.01
     color_channel: int = 1
+    # minimum GN iterations before the small-update termination may fire
+    # (guards against a first-iteration |dx| < thre exit from an already
+    # near-aligned initial guess)
+    min_iter_n: int = 2
+    # Graduated non-convexity: the Geman-McClure scales start gm_anneal x
+    # larger and halve per iteration down to 1x (1.0 = off). Available for
+    # hard relocalization; measured NOT to help the sustained-turn yaw
+    # runaway (that was the rotation-extrapolating initial guess — see
+    # config.motion_model), and slightly loosens normal convergence.
+    gm_anneal: float = 1.0
 
 
 class TrackResult(NamedTuple):
@@ -77,7 +87,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
 
     def registration_quantities(state, geo_features, geo_mlp, pts, src_mask,
                                 lf, anchor, src_intensity, color_features,
-                                color_mlp, lset):
+                                color_mlp, lset, gm_scale=1.0):
         sdf, grad, out = mq.query_sdf_and_grad(
             state, geo_features, geo_mlp, pts, qp,
             anchor=anchor, lf=lf, lset=lset,
@@ -97,8 +107,11 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         grad_anomaly = grad_norm - 1.0
 
         # Geman-McClure robust weights (reference: utils/tracker.py:469-480)
-        w_grad = (tp.gm_grad / (tp.gm_grad + grad_anomaly**2)) ** 2
-        w_res = (tp.gm_dist / (tp.gm_dist + residual**2)) ** 2
+        # with graduated non-convexity via gm_scale (see TrackerParams)
+        gm_g = tp.gm_grad * gm_scale
+        gm_d = tp.gm_dist * gm_scale
+        w_grad = (gm_g / (gm_g + grad_anomaly**2)) ** 2
+        w_res = (gm_d / (gm_d + residual**2)) ** 2
         w = w_grad * w_res
 
         int_pred = int_grad = None
@@ -160,7 +173,8 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
     REPROBE_FRAC = 0.35
 
     def registration_quantities_cached(geo_features, geo_mlp, pts, src_mask,
-                                       anchor, lset, cand, cvalid):
+                                       anchor, lset, cand, cvalid,
+                                       gm_scale=1.0):
         def sdf_fn(p):
             s, nn, std = mq.decode_sdf_candidates(
                 lset, geo_features, geo_mlp, p + anchor, cand, cvalid, qp,
@@ -181,8 +195,10 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
 
         residual = sdf
         grad_anomaly = grad_norm - 1.0
-        w_grad = (tp.gm_grad / (tp.gm_grad + grad_anomaly**2)) ** 2
-        w_res = (tp.gm_dist / (tp.gm_dist + residual**2)) ** 2
+        gm_g = tp.gm_grad * gm_scale
+        gm_d = tp.gm_dist * gm_scale
+        w_grad = (gm_g / (gm_g + grad_anomaly**2)) ** 2
+        w_res = (gm_d / (gm_d + residual**2)) ** 2
         w = jnp.where(valid, w_grad * w_res, 0.0)
         vcount = jnp.sum(valid.astype(jnp.int32))
         w_mean = jnp.sum(w) / jnp.maximum(vcount.astype(jnp.float32), 1.0)
@@ -225,6 +241,8 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
              w_keep, vmask_keep, cand, cvalid, probe_T) = carry
 
             pts = src @ T[:3, :3].T + T[:3, 3]
+            gm_scale = jnp.maximum(
+                1.0, tp.gm_anneal * (0.5 ** i.astype(jnp.float32)))
             if use_cache:
                 dt = jnp.linalg.norm(T[:3, 3] - probe_T[:3, 3])
                 ang = rotation_angle(T[:3, :3] @ probe_T[:3, :3].T)
@@ -238,13 +256,13 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
                 H, g, res_cm, vcount, mse, w_pts, vmask = \
                     registration_quantities_cached(
                         geo_features, geo_mlp, pts, src_mask, anchor,
-                        lset, cand, cvalid)
+                        lset, cand, cvalid, gm_scale)
             else:
                 H, g, res_cm, vcount, mse, w_pts, vmask = \
                     registration_quantities(
                         state, geo_features, geo_mlp, pts, src_mask, lf,
                         anchor, src_intensity, color_features, color_mlp,
-                        lset)
+                        lset, gm_scale)
 
             H_lm = H + tp.lm_lambda * jnp.diag(jnp.diag(H))
             enough = vcount >= 10
@@ -271,7 +289,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
             rot_deg = rotation_angle(dR) * 180.0 / jnp.pi
             tran_m = jnp.linalg.norm(delta[3:])
             small = (jnp.abs(rot_deg) < tp.term_thre_deg) & \
-                (tran_m < tp.term_thre_m)
+                (tran_m < tp.term_thre_m) & (i + 1 >= tp.min_iter_n)
             converged_new = converged | small | (i == tp.reg_iter_n - 2)
 
             return (T_new, i + 1, last_res, valid_new, converged_new,

@@ -98,3 +98,45 @@ class TestChunking:
         his = np.array([c[1] for c in chunks])
         assert los.min(0)[0] == 0.0
         assert his.max(0)[0] == 250.0
+
+
+class TestJoinModeOfflineQuery:
+    """With probe_mode="join" the frame loop keeps no brick cache
+    (maintain_btable=False) — lset-less queries (mesher grids, BA, dynamic
+    filter) must fall back to the cell-table probe instead of reading the
+    empty btable (which returns nn_count=0 everywhere and produced an
+    empty gauntlet mesh on TPU)."""
+
+    def test_lsetless_query_sees_points(self):
+        import jax
+        import jax.numpy as jnp
+        from pin_slam_tpu.config import Config
+        from pin_slam_tpu.models import neural_points as npm
+        from pin_slam_tpu.models.decoder import init_mlp_params
+        from pin_slam_tpu.slam import map_query as mq
+
+        cfg = Config()
+        cfg.voxel_size_m = 0.4
+        cfg.probe_mode = "join"
+        cfg.finalize()
+        qp = mq.make_query_params(cfg)
+        assert qp.probe_mode == "join"
+
+        state = npm.init_map_state(1 << 12, 1 << 14, 8, color_on=False)
+        g = np.stack(np.meshgrid(np.arange(-8, 8), np.arange(-8, 8),
+                                 indexing="ij"), -1).reshape(-1, 2) * 0.4
+        pts = np.concatenate(
+            [g, np.zeros((g.shape[0], 1))], 1).astype(np.float32)
+        # join-mode insert: brick cache NOT maintained
+        state, _ = npm.insert_points(
+            state, jnp.asarray(pts), jnp.ones(len(pts), bool), 0,
+            jnp.zeros(8, jnp.float32), resolution=0.4,
+            local_window_dist=100.0, maintain_btable=False)
+
+        geo_mlp = init_mlp_params(jax.random.PRNGKey(0), 11, 64, 1, 1)
+        probe = np.zeros((64, 3), np.float32)
+        probe[:, 0] = np.linspace(-2, 2, 64)
+        probe[:, 2] = 0.1
+        out = mq.query_decode(state, state.geo_features, geo_mlp,
+                              jnp.asarray(probe), qp)
+        assert int(np.asarray(out.nn_count).min()) >= 6

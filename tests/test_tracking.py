@@ -149,3 +149,32 @@ class TestTracking:
             jnp.ones(256, bool), jnp.eye(4), w["lf"],
             jnp.zeros(3, jnp.float32))
         assert not bool(res.valid)
+
+
+def test_init_guess_motion_models():
+    """motion_model="translation" extrapolates translation rate only —
+    the stability fix for sustained turning (see config.motion_model)."""
+    import numpy as np
+    from pin_slam_tpu.slam.system import compute_init_guess
+
+    th = 0.2
+    last_tran = np.eye(4)
+    last_tran[:2, :2] = [[np.cos(th), -np.sin(th)],
+                         [np.sin(th), np.cos(th)]]
+    last_tran[0, 3] = 0.5
+    pose = np.eye(4)
+    pose[:3, 3] = [3.0, 1.0, 0.2]
+
+    full = compute_init_guess(True, "full", pose, last_tran)
+    np.testing.assert_allclose(full, pose @ last_tran)
+
+    tr = compute_init_guess(True, "translation", pose, last_tran)
+    # same predicted position, NO extrapolated rotation
+    np.testing.assert_allclose(tr[:3, 3], (pose @ last_tran)[:3, 3])
+    np.testing.assert_allclose(tr[:3, :3], pose[:3, :3])
+
+    still = compute_init_guess(False, "translation", pose, last_tran)
+    np.testing.assert_allclose(still, pose)
+    # default is the stable model
+    from pin_slam_tpu.config import Config
+    assert Config().motion_model == "translation"

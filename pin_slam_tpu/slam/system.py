@@ -336,10 +336,15 @@ class PinSLAMSystem:
         self._dynamic_filter = jax.jit(dynamic_filter)
 
         # --- frame update: sample + map insert + pool append + new detect
+        # `do_map` is a traced gate (tracker validity is decided on-device
+        # so the frame runs as one dispatch chain with a single host pull);
+        # when False every sample mask is cleared, making the whole update
+        # a no-op on state/pool counts.
         def frame_update(state, pool, train_pts, train_attr, train_n, T,
                          cur_ts, travel_dist, key, force_all_new,
-                         static_mask):
-            mask = (jnp.arange(train_pts.shape[0]) < train_n) & static_mask
+                         static_mask, do_map):
+            mask = ((jnp.arange(train_pts.shape[0]) < train_n)
+                    & static_mask & do_map)
             key, ks = jax.random.split(key)
             colors = (train_attr[:, : c.color_channel]
                       if c.color_on else None)
@@ -415,6 +420,25 @@ class PinSLAMSystem:
             return state, n
 
         self._prune_and_rehash = jax.jit(prune_and_rehash)
+
+        # --- device-side post-track bookkeeping (the piece that used to
+        # force a host sync between odometry and mapping): select the pose
+        # the frame logic would pick (reference tracker.py:221-223 keeps
+        # the initial guess on early failure), extend the travel-dist
+        # array, and compute the mapping gate — all on device, so mapping
+        # can be dispatched behind the tracker without waiting for its
+        # result. The anchored frame has the last pose at the origin.
+        def select_pose(valid, iters, pose_a, T_init_a, anchor, td, fid):
+            use_pose = valid | (iters >= 10)
+            Ta = jnp.where(use_pose, pose_a, T_init_a)
+            tran = jnp.linalg.norm(Ta[:3, 3])
+            td_new = td.at[fid].set(td[fid - 1] + tran)
+            # teleport check (reference slam_dataset.py:552-557)
+            teleport = tran > c.surface_sample_range_m * 20.0
+            T_world = Ta.at[:3, 3].add(anchor)
+            return T_world, td_new, valid & ~teleport
+
+        self._select_pose = jax.jit(select_pose)
 
     # -------------------------------------------------------------- helpers
 
@@ -607,35 +631,35 @@ class PinSLAMSystem:
                 jnp.asarray(T_init, jnp.float32), lf,
                 jnp.asarray(anchor, jnp.float32), **color_kwargs)
             self.last_tracking = res
-            # ONE host round trip for everything the frame logic needs
-            # (each separate pull costs a full device RTT)
-            valid_d, iters_d, pose_d = jax.device_get(
-                (res.valid, res.iterations, res.pose))
-            valid = bool(valid_d)
-            iters = int(iters_d)
-            if not valid and iters < 10:
-                cur_pose = init_guess  # keep guess (reference tracker.py:221-223)
-            else:
-                cur_pose = np.asarray(pose_d, np.float64)
-                cur_pose[:3, 3] += anchor
-            self.lose_track = not valid
-            self._update_odom_pose(frame_id, cur_pose)
+            # NO host sync here: the pose the frame logic needs is picked
+            # on device (select_pose) so mapping can be dispatched right
+            # behind the tracker; everything the host needs surfaces in
+            # ONE batched pull after the mapping dispatches (each separate
+            # pull costs a full ~35 ms tunnel RTT).
+            T32_dev, td_dev, mapok_dev = self._select_pose(
+                res.valid, res.iterations, res.pose,
+                jnp.asarray(T_init, jnp.float32),
+                jnp.asarray(anchor, jnp.float32),
+                jnp.asarray(self.travel_dist[: self.max_frames],
+                            jnp.float32),
+                jnp.int32(frame_id))
+            tracked = True
         elif frame_id > 0:
             if self.gt_poses is None:
                 raise ValueError("mapping mode requires gt poses")
             self._update_odom_pose(frame_id, init_guess)
+            tracked = False
         else:
             self.cur_pose_ref = init_guess
+            tracked = False
         if self._sync_timing and self.last_tracking is not None:
             jax.block_until_ready(self.last_tracking.pose)
         t2 = time.time()
 
-        # ---- III. loop closure + PGO
-        if loop_hook is not None:
-            loop_hook(frame_id)
-        t3 = time.time()
-
-        # ---- reboot check (reference: pin_slam.py:352-363)
+        # ---- reboot check (reference: pin_slam.py:352-363). Uses the
+        # lose-track counter as of the previous frame (one frame later
+        # than the reference) so mapping can be dispatched without
+        # waiting for the tracker result.
         system_rebooted = False
         if self.consecutive_lose_track_frame >= c.reboot_frame_thre:
             self.pool = self.pool.replace(
@@ -646,67 +670,106 @@ class PinSLAMSystem:
             self.consecutive_lose_track_frame = 0
             self.decoder_freezed = False
 
-        # ---- IV. mapping
-        valid_mapping = (not self.lose_track) and (not self.stop_status)
-        did_map = False
-        self.last_did_map = False
-        if not self.localization_mode and (
-                frame_id < 5 or valid_mapping or system_rebooted):
-            did_map = True
-            td = jnp.asarray(self.travel_dist[: self.max_frames], jnp.float32)
-            T32 = jnp.asarray(self.cur_pose_ref, jnp.float32)
+        # ---- IV. mapping (dispatched behind the tracker; gated on
+        # device by tracker validity via frame_update's do_map input)
+        stop_prev = self.stop_status  # stop gate lags one frame
+        host_force = frame_id < 5 or system_rebooted
+        if not tracked:
+            T32_dev = jnp.asarray(self.cur_pose_ref, jnp.float32)
+            td_dev = jnp.asarray(
+                self.travel_dist[: self.max_frames], jnp.float32)
+            mapok_dev = jnp.bool_(not self.lose_track)
+        do_map_dev = jnp.logical_or(
+            jnp.bool_(host_force),
+            jnp.logical_and(mapok_dev, jnp.bool_(not stop_prev)))
+        dispatched_map = not self.localization_mode
+        pool_cadence = (frame_id + 1) % c.pool_filter_freq == 0
+        new_obs_ratio = None
+        if dispatched_map:
             # prune inactive low-certainty points (reference:
             # utils/mapper.py:253-256)
             if c.prune_map_on and (frame_id + 1) % c.prune_freq_frame == 0:
                 self.state, _ = self._prune_and_rehash(
-                    self.state, jnp.int32(frame_id), td)
+                    self.state, jnp.int32(frame_id), td_dev)
                 self.params["geo_features"] = self.state.geo_features
                 if c.color_on:
                     self.params["color_features"] = self.state.color_features
             static_mask = jnp.ones(c.frame_point_cap, bool)
             if c.dynamic_filter_on and frame_id > 0:
-                world = transform_points(train_pts, T32)
+                world = transform_points(train_pts, T32_dev)
                 static_mask = self._dynamic_filter(
                     self.state, self.params["geo_features"],
                     self.params["geo_mlp"], world,
                     static_mask, self._lf(frame_id - 1))
             (self.state, self.pool, self.key, new_ratio,
              new_obs_ratio) = self._frame_update(
-                self.state, self.pool, train_pts, train_attr, train_n, T32,
-                jnp.int32(frame_id), td, self.key,
-                jnp.bool_(system_rebooted), static_mask)
+                self.state, self.pool, train_pts, train_attr, train_n,
+                T32_dev, jnp.int32(frame_id), td_dev, self.key,
+                jnp.bool_(system_rebooted), static_mask, do_map_dev)
             self.params["geo_features"] = self.state.geo_features
             if c.color_on:
                 self.params["color_features"] = self.state.color_features
 
-            # adaptive iteration count (reference: utils/mapper.py:425-438);
-            # pulling the ratio costs a device RTT — only when needed
-            self.adaptive_iter_offset = 0
-            if c.adaptive_iters:
-                self.new_obs_ratio = float(new_obs_ratio)
-                if self.new_obs_ratio < c.new_sample_ratio_less:
-                    self.adaptive_iter_offset = -5
-                elif self.new_obs_ratio > c.new_sample_ratio_more:
-                    self.adaptive_iter_offset = 5
-                    if (frame_id > c.freeze_after_frame
-                            and self.new_obs_ratio > c.new_sample_ratio_restart):
-                        self.adaptive_iter_offset = 10
-
-            # pool filtering (reference: utils/mapper.py:316-360)
-            if (frame_id + 1) % c.pool_filter_freq == 0:
+            # pool filtering (reference: utils/mapper.py:316-360); the
+            # origin comes from the device pose — still no host sync
+            if pool_cadence:
                 self.key, kf = jax.random.split(self.key)
                 self.pool = self._filter_pool(
-                    self.pool,
-                    jnp.asarray(self.cur_pose_ref[:3, 3], jnp.float32), kf)
-                # capacity watchdog (same cadence, shares the host pull):
-                # grow the map before insert_points starts dropping points
-                # silently (r1 VERDICT weak #5)
-                if int(self.state.count) > 0.9 * c.map_capacity:
-                    self.grow_map_capacity()
+                    self.pool, T32_dev[:3, 3], kf)
         if self._sync_timing:
             jax.block_until_ready(self.pool.count)
+
+        # ---- THE one batched host pull of the frame
+        pull = []
+        if tracked:
+            res = self.last_tracking
+            pull += [res.valid, res.iterations, res.pose]
+        if dispatched_map and c.adaptive_iters:
+            pull.append(new_obs_ratio)
+        if dispatched_map and pool_cadence:
+            pull.append(self.state.count)
+        vals = list(jax.device_get(tuple(pull))) if pull else []
+        if tracked:
+            valid, iters, pose_d = (
+                bool(vals[0]), int(vals[1]), vals[2])
+            vals = vals[3:]
+            if not valid and iters < 10:
+                # keep guess (reference tracker.py:221-223)
+                cur_pose = init_guess
+            else:
+                cur_pose = np.asarray(pose_d, np.float64)
+                cur_pose[:3, 3] += anchor
+            self.lose_track = not valid
+            self._update_odom_pose(frame_id, cur_pose)
+
+        # adaptive iteration count (reference: utils/mapper.py:425-438)
+        self.adaptive_iter_offset = 0
+        if dispatched_map and c.adaptive_iters:
+            self.new_obs_ratio = float(vals.pop(0))
+            if self.new_obs_ratio < c.new_sample_ratio_less:
+                self.adaptive_iter_offset = -5
+            elif self.new_obs_ratio > c.new_sample_ratio_more:
+                self.adaptive_iter_offset = 5
+                if (frame_id > c.freeze_after_frame
+                        and self.new_obs_ratio > c.new_sample_ratio_restart):
+                    self.adaptive_iter_offset = 10
+        if dispatched_map and pool_cadence:
+            # capacity watchdog (shares the batched pull): grow the map
+            # before insert_points starts dropping points silently
+            if int(vals.pop(0)) > 0.9 * c.map_capacity:
+                self.grow_map_capacity()
         t4 = time.time()
 
+        # ---- III. loop closure + PGO (after the pull — the already-
+        # inserted current frame carries ts=frame_id, so a closure's
+        # elastic deformation corrects it like every other frame)
+        if loop_hook is not None:
+            loop_hook(frame_id)
+        t3 = time.time()
+
+        # host mirror of the device-side do_map gate
+        did_map = dispatched_map and (
+            host_force or (not self.lose_track and not stop_prev))
         self.last_did_map = did_map
         # ---- training
         if frame_id % c.mapping_freq_frame == 0 and did_map:
@@ -730,7 +793,10 @@ class PinSLAMSystem:
             jax.block_until_ready(self.params["geo_features"])
         t5 = time.time()
 
-        self.timings.append([t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4])
+        # [preprocess, odometry, pgo, map-prep, map-opt]; odometry is the
+        # tracker dispatch, map-prep the mapping dispatches + the frame's
+        # single batched host pull, pgo the (post-pull) loop-closure block
+        self.timings.append([t1 - t0, t2 - t1, t3 - t4, t4 - t2, t5 - t3])
         self.cur_frame = frame_id + 1
         return self.cur_pose_ref.copy()
 

@@ -34,6 +34,9 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="eval/gauntlet_results.json")
     p.add_argument("--no-pgo", action="store_true")
+    p.add_argument("--gt-poses", action="store_true",
+                   help="mapping-mode: feed GT poses (no tracking/PGO) — "
+                   "isolates mapping+meshing fidelity from SLAM drift")
     a = p.parse_args()
 
     if a.cpu:
@@ -60,8 +63,8 @@ def main():
     import jax.numpy as jnp
 
     cfg = Config()
-    cfg.track_on = True
-    cfg.pgo_on = not a.no_pgo
+    cfg.track_on = not a.gt_poses
+    cfg.pgo_on = (not a.no_pgo) and (not a.gt_poses)
     cfg.max_range = 60.0
     cfg.min_range = 0.5
     cfg.vox_down_m = 0.08
@@ -91,12 +94,17 @@ def main():
     # Scene-scaled loop/PGO geometry. finalize() sets local_map_radius =
     # max_range+2 = 62 m, which must STAY that large (it is also the
     # query-radius filter; the walls are ~25 m out). Scale the derived
-    # quantities via the ratios instead: travel-dist window 0.8*62 ~ 50 m
-    # (~1 lap, so lap-1 geometry ages out and loop closure has real work)
-    # and loop-candidate travel gate 0.65*62 ~ 40 m (< the 50 m lap, so
-    # lap-2 revisits genuinely become candidates).
-    cfg.local_map_travel_dist_ratio = 0.8
+    # quantities via the ratios instead: travel-dist window 0.4*62 ~ 25 m
+    # (half a lap — old geometry cleanly ages out of the local map well
+    # before the revisit, the reference's KITTI regime, so loop closure
+    # has genuine work) and loop-candidate travel gate 0.65*62 ~ 40 m
+    # (< the 50 m lap, so lap-2 revisits become candidates).
+    cfg.local_map_travel_dist_ratio = 0.4
     cfg.min_loop_travel_dist_ratio = 0.65
+    # NCD-style mid-timestamp window (reference run_ncd.yaml:21): the
+    # course re-observes the same walls every lap, and windowing by
+    # creation ts alone would age out geometry that is still in view
+    cfg.use_mid_ts = True
 
     seq = SyntheticSequence(
         scene_sdf=default_scene(half_extent=(22.0, 16.0, 4.0)),
@@ -105,8 +113,10 @@ def main():
         dirs=lidar_directions(512, 32), max_range=60.0)
 
     system = PinSLAMSystem(cfg)
-    # SLAM (not mapping) evaluation: no gt handed to the system beyond
-    # frame 0
+    if a.gt_poses:
+        # mapping-mode: system anchors at gt_poses[0] (world frame)
+        system.set_gt_poses(seq.poses)
+    # SLAM evaluation otherwise: no gt handed to the system at all
     loop_mgr = LoopPgoManager(cfg, system) if cfg.pgo_on else None
 
     rng = np.random.RandomState(7)
@@ -137,11 +147,14 @@ def main():
 
     n = len(seq)
     lengths = (10, 20, 30, 40, 50)   # scene-scaled drift segments
-    # The system is anchored at the frame-0 body frame (identity); GT
-    # starts on the circle with arbitrary heading. Re-anchor the estimates
-    # into the GT world frame so the strict (no-Umeyama) ATE is meaningful.
-    slam_poses = seq.poses[0] @ system.pgo_poses[:n]
-    odom_poses = seq.poses[0] @ system.odom_poses[:n]
+    # In SLAM mode the system is anchored at the frame-0 body frame
+    # (identity); GT starts on the circle with arbitrary heading.
+    # Re-anchor the estimates into the GT world frame so the strict
+    # (no-Umeyama) ATE is meaningful. In gt-poses mode the system is
+    # already world-anchored.
+    A0 = np.eye(4) if a.gt_poses else seq.poses[0]
+    slam_poses = A0 @ system.pgo_poses[:n]
+    odom_poses = A0 @ system.odom_poses[:n]
     ate_s, are_s = absolute_error(seq.poses[:n], slam_poses, False)
     ate_o, are_o = absolute_error(seq.poses[:n], odom_poses, False)
     dt_s, dr_s = relative_error(seq.poses[:n], slam_poses, lengths, step=5)
@@ -160,9 +173,17 @@ def main():
                       crop_pred_to_gt=True)
     mesh10 = eval_mesh(pred, gt[perm], threshold=0.1,
                        crop_pred_to_gt=True)
+    # 20 cm is the reference's LiDAR-SLAM mesh threshold scale (5 cm is
+    # the RGB-D/Replica protocol; a PGO-corrected map is globally
+    # consistent only to the residual drift)
+    mesh20 = eval_mesh(pred, gt[perm], threshold=0.2,
+                       crop_pred_to_gt=True)
     mesh5_uncropped = eval_mesh(pred, gt[perm], threshold=0.05)
 
+    if a.gt_poses and a.out == "eval/gauntlet_results.json":
+        a.out = "eval/gauntlet_mapping_results.json"
     results = {
+        "mode": "mapping(gt-poses)" if a.gt_poses else "slam",
         "frames": n,
         "trajectory_length_m": float(2 * np.pi * 8.0 * a.laps),
         "loop_closures": 0 if loop_mgr is None else int(loop_mgr.pgo_count),
@@ -175,6 +196,9 @@ def main():
                       "Recall [Completeness] (%)", "F-score (%)",
                       "Chamfer_L1 (m)")},
         "mesh@10cm": {k: mesh10[k] for k in
+                      ("Precision [Accuracy] (%)",
+                       "Recall [Completeness] (%)", "F-score (%)")},
+        "mesh@20cm": {k: mesh20[k] for k in
                       ("Precision [Accuracy] (%)",
                        "Recall [Completeness] (%)", "F-score (%)")},
         "mesh@5cm_uncropped": {k: mesh5_uncropped[k] for k in
@@ -190,7 +214,9 @@ def main():
 
     # Post-hoc artifacts: trajectories + implicit map, so analysis/remesh
     # doesn't need a re-run.
-    art = os.path.join(os.path.dirname(a.out), "gauntlet_out")
+    art = os.path.join(os.path.dirname(a.out),
+                       "gauntlet_mapping_out" if a.gt_poses
+                       else "gauntlet_out")
     os.makedirs(art, exist_ok=True)
     np.save(os.path.join(art, "gt_poses.npy"), seq.poses[:n])
     np.save(os.path.join(art, "slam_poses.npy"), slam_poses)

@@ -381,6 +381,9 @@ def query_neighbors(
     sensor_pos: Optional[jnp.ndarray] = None,
     local_map_radius: float = 0.0,
     reboot_ts=0,
+    use_mid_ts: bool = False,   # window by (create+update)/2 (reference
+                                # reset_local_map, :449-452) so re-observed
+                                # geometry stays in the local map
     probe_mode: str = "brick",  # 'brick' (TPU: 8 wide gathers) or 'cells'
                                 # (CPU: 33 narrow gather chains — the 512-
                                 # candidate scoring that is free on the TPU
@@ -393,7 +396,7 @@ def query_neighbors(
             travel_dist=travel_dist, cur_ts=cur_ts,
             local_window_dist=local_window_dist, radius_filter=radius_filter,
             sensor_pos=sensor_pos, local_map_radius=local_map_radius,
-            reboot_ts=reboot_ts)
+            reboot_ts=reboot_ts, use_mid_ts=use_mid_ts)
     C = state.capacity
     n = qpts.shape[0]
     n_bricks = state.btable.shape[0] - 1
@@ -435,7 +438,11 @@ def query_neighbors(
         # instead of a per-probe travel_dist gather (a [N*K]-row gather from
         # a tiny array costs as much as the main record gather on TPU)
         ts_lo = _travel_window_ts_lo(travel_dist, cur_ts, local_window_dist)
-        valid = valid & (tsc >= ts_lo) & (tsc >= reboot_ts)
+        ts_eff = tsc
+        if use_mid_ts:
+            ts_eff = (tsc + state.ts_update[
+                jnp.where(idx >= 0, idx, C)]) // 2
+        valid = valid & (ts_eff >= ts_lo) & (ts_eff >= reboot_ts)
     if radius_filter and sensor_pos is not None:
         sx = base[..., 0] + lx - sensor_pos[0]
         sy = base[..., 1] + ly - sensor_pos[1]
@@ -483,6 +490,7 @@ def _query_neighbors_cells(
     sensor_pos: Optional[jnp.ndarray] = None,
     local_map_radius: float = 0.0,
     reboot_ts=0,
+    use_mid_ts: bool = False,
 ) -> QueryNeighbors:
     """Per-cell probe: table gather then position/ts gathers. Same search
     semantics as the brick path with exact (unquantized) candidate ranking."""
@@ -503,6 +511,8 @@ def _query_neighbors_cells(
 
     if time_filter:
         tsc = state.ts_create[idx_c]
+        if use_mid_ts:
+            tsc = (tsc + state.ts_update[idx_c]) // 2
         ts_lo = _travel_window_ts_lo(travel_dist, cur_ts, local_window_dist)
         valid = valid & (tsc >= ts_lo) & (tsc >= reboot_ts)
     if radius_filter and sensor_pos is not None:
@@ -574,6 +584,7 @@ def local_map_mask(
     sensor_pos: Optional[jnp.ndarray] = None,
     local_map_radius: float = 0.0,
     reboot_ts=0,
+    use_mid_ts: bool = False,
 ) -> jnp.ndarray:
     """Row-level [C] mask of the conceptual local map — the same travel-dist
     window / time window / radius criteria the query path applies per
@@ -584,6 +595,8 @@ def local_map_mask(
     rows = jnp.arange(C)
     alive = rows < state.count
     tsc = state.ts_create[:C]
+    if use_mid_ts:
+        tsc = (tsc + state.ts_update[:C]) // 2
     if by_travel_dist:
         ts_lo = _travel_window_ts_lo(travel_dist, cur_ts,
                                      local_window_dist)

@@ -59,7 +59,8 @@ class LoopPgoManager:
                 state, travel, ts, system.local_window_dist,
                 by_travel_dist=c.loop_local_map_by_travel_dist,
                 time_window=c.loop_local_map_time_window,
-                sensor_pos=pos, local_map_radius=c.local_map_radius))
+                sensor_pos=pos, local_map_radius=c.local_map_radius,
+                use_mid_ts=c.use_mid_ts))
 
     # ------------------------------------------------------- map context
 

@@ -50,6 +50,8 @@ class QueryParams(NamedTuple):
                                # neural_points.query_neighbors
     idw_index: int = 2        # IDW exponent (reference: utils/config.py:99)
     mlp_leaky_relu: bool = False  # decoder activation (ref decoder.py:69-75)
+    use_mid_ts: bool = False  # window by (create+update)/2 mid-timestamp
+                              # (reference: reset_local_map :449-452)
     # radius bound for the spatial-join probe: the reference's candidate
     # set is points stored in cells of the (num_nei_cells+alpha)-ball, i.e.
     # distances up to ~(ball_r + sqrt(3)/2) cells; the validity bound
@@ -80,6 +82,7 @@ def make_query_params(config, after_pgo: bool = True) -> QueryParams:
         probe_mode=_resolve_probe_mode(getattr(config, "probe_mode", "auto")),
         idw_index=config.idw_index,
         mlp_leaky_relu=config.mlp_leaky_relu,
+        use_mid_ts=config.use_mid_ts,
         join_max_dist2=float(min(
             hash3d.max_valid_dist2(config.num_nei_cells,
                                    config.voxel_size_m),
@@ -171,6 +174,7 @@ def query_decode(
                 cur_ts=lf.cur_ts,
                 local_window_dist=lf.local_window_dist,
                 reboot_ts=lf.reboot_ts,
+                use_mid_ts=qp.use_mid_ts,
             )
             if lf.sensor_pos is not None:
                 kwargs.update(

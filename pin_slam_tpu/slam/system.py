@@ -232,7 +232,7 @@ class PinSLAMSystem:
             m = npm.local_map_mask(
                 state, travel, cur_ts, lwd,
                 sensor_pos=sensor_pos, local_map_radius=c.local_map_radius,
-                reboot_ts=reboot_ts)
+                reboot_ts=reboot_ts, use_mid_ts=c.use_mid_ts)
             ls = kj.build_local_set(
                 state.positions, m, c.voxel_size_m, c.local_set_cap,
                 certainty=state.certainty,
@@ -244,7 +244,8 @@ class PinSLAMSystem:
 
         def build_lset_train(state, travel, cur_ts, reboot_ts):
             m = npm.local_map_mask(
-                state, travel, cur_ts, lwd, reboot_ts=reboot_ts)
+                state, travel, cur_ts, lwd, reboot_ts=reboot_ts,
+                use_mid_ts=c.use_mid_ts)
             return kj.build_local_set(
                 state.positions, m, c.voxel_size_m, c.local_set_cap,
                 certainty=state.certainty, ts_update=state.ts_update,

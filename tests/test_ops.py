@@ -188,3 +188,50 @@ class TestProbeModes:
         for mode in ("cells", "brick"):
             qn = npm.query_neighbors(state, q, probe_mode=mode, **kw)
             assert int(qn.nn_count.max()) == 0, mode
+
+
+class TestMidTsWindow:
+    """use_mid_ts windows by (create+update)/2 (reference reset_local_map,
+    model/neural_points.py:449-452) so re-observed geometry stays in the
+    local map."""
+
+    def test_reobserved_points_stay_local(self):
+        import jax.numpy as jnp
+        from pin_slam_tpu.models import neural_points as npm
+        from pin_slam_tpu.ops import hash3d
+
+        rng = np.random.RandomState(0)
+        pts = rng.randn(500, 3).astype(np.float32) * 5.0
+        state = npm.init_map_state(1 << 11, 1 << 15, 8, False)
+        td = jnp.arange(32, dtype=jnp.float32)  # 1 m of travel per frame
+        ins = lambda s, ts: npm.insert_points(
+            s, jnp.asarray(pts), jnp.ones(len(pts), bool), ts, td,
+            resolution=0.3, local_window_dist=100.0)[0]
+        state = ins(state, 0)       # created at ts 0
+        # re-observation refreshes ts_update during training (reference
+        # assign_local_to_global, model/neural_points.py:526; here
+        # accumulate_certainty) — simulate a trained re-observation at 20
+        state = state.replace(ts_update=jnp.where(
+            jnp.arange(state.capacity + 1) < state.count, 20,
+            state.ts_update))       # mid ts = (0+20)/2 = 10
+
+        kw = dict(offsets=hash3d.neighbor_offsets(2, 0.2), resolution=0.3,
+                  nn_k=6, max_dist2=hash3d.max_valid_dist2(2, 0.3),
+                  time_filter=True, travel_dist=td, cur_ts=jnp.int32(20),
+                  local_window_dist=15.0)  # window excludes ts<5
+        q = jnp.asarray(pts[:64])
+        for mode in ("cells", "brick"):
+            strict = npm.query_neighbors(state, q, probe_mode=mode,
+                                         use_mid_ts=False, **kw)
+            mid = npm.query_neighbors(state, q, probe_mode=mode,
+                                      use_mid_ts=True, **kw)
+            assert int(strict.nn_count.max()) == 0, mode
+            # >95%: the remainder are insert-time hash-collision dedups
+            # with no other point inside the search ball
+            assert (np.asarray(mid.nn_count) >= 1).mean() > 0.95, mode
+
+        m_strict = npm.local_map_mask(state, td, jnp.int32(20), 15.0)
+        m_mid = npm.local_map_mask(state, td, jnp.int32(20), 15.0,
+                                   use_mid_ts=True)
+        assert int(m_strict.sum()) == 0
+        assert int(m_mid.sum()) == int(state.count)

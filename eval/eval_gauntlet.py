@@ -166,6 +166,9 @@ def main():
     v, f = mesher.recon_map_mesh(
         system.state, system.params["geo_features"],
         system.params["geo_mlp"])
+    # the map (hence mesh) lives in the system's anchor frame — re-anchor
+    # into the GT world frame like the poses above
+    v = v @ A0[:3, :3].T + A0[:3, 3]
     gt = np.concatenate(gt_points)
     perm = np.random.RandomState(0).permutation(len(gt))[:300_000]
     pred = sample_mesh_points(v, f, 300_000)

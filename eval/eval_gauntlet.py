@@ -58,7 +58,9 @@ def main():
     from pin_slam_tpu.slam.mesher import Mesher, MeshConfig
     from pin_slam_tpu.utils.eval_traj import (absolute_error,
                                               relative_error)
-    from pin_slam_tpu.utils.eval_mesh import eval_mesh, sample_mesh_points
+    from pin_slam_tpu.utils.eval_mesh import (
+        crop_points_to_region, eval_mesh, point_to_mesh_distance,
+        sample_mesh_points)
     from pin_slam_tpu.ops.transforms import transform_points
     import jax.numpy as jnp
 
@@ -183,6 +185,28 @@ def main():
                        crop_pred_to_gt=True)
     mesh5_uncropped = eval_mesh(pred, gt[perm], threshold=0.05)
 
+    # EXACT metrics: point-sampled chamfer adds the sample spacing
+    # (~3.5 cm median here) as a distance floor — an exactly correct
+    # surface fails the 5 cm threshold ~1/3 of the time. Precision is
+    # measured analytically (|scene sdf| at pred samples, cropped to the
+    # observed region); recall as exact point-to-triangle distance from
+    # the GT scan points to the predicted mesh.
+    pred_obs = crop_points_to_region(pred, gt[perm])
+    d_prec = np.abs(seq.scene_sdf(pred_obs.astype(np.float64)))
+    d_rec = point_to_mesh_distance(gt[perm], v, f)
+    exact = {}
+    for thr in (0.05, 0.1, 0.2):
+        P = 100.0 * float((d_prec < thr).mean())
+        R = 100.0 * float((d_rec < thr).mean())
+        exact[f"@{int(thr*100)}cm"] = {
+            "Precision [Accuracy] (%)": P,
+            "Recall [Completeness] (%)": R,
+            "F-score (%)": 2 * P * R / max(P + R, 1e-9),
+        }
+    exact["Chamfer_L1 (m)"] = float(
+        0.5 * (np.minimum(d_prec, 0.5).mean()
+               + np.minimum(d_rec, 0.5).mean()))
+
     if a.gt_poses and a.out == "eval/gauntlet_results.json":
         a.out = "eval/gauntlet_mapping_results.json"
     results = {
@@ -207,6 +231,7 @@ def main():
         "mesh@5cm_uncropped": {k: mesh5_uncropped[k] for k in
                                ("Precision [Accuracy] (%)",
                                 "F-score (%)")},
+        "mesh_exact": exact,
         "map_points": int(system.state.count),
         "mesh_vertices": int(v.shape[0]),
     }
@@ -222,6 +247,9 @@ def main():
                        else "gauntlet_out")
     os.makedirs(art, exist_ok=True)
     np.save(os.path.join(art, "gt_poses.npy"), seq.poses[:n])
+    # frame the saved map lives in (identity for gt-poses mode): the
+    # transform rescore_gauntlet_mesh.py must apply to mesh vertices
+    np.save(os.path.join(art, "map_anchor.npy"), A0)
     np.save(os.path.join(art, "slam_poses.npy"), slam_poses)
     np.save(os.path.join(art, "odom_poses.npy"), odom_poses)
     from pin_slam_tpu.utils.map_io import save_implicit_map

@@ -43,13 +43,18 @@ def main():
     from pin_slam_tpu.slam.mesher import Mesher, MeshConfig
     from pin_slam_tpu.slam import map_query as mq
     from pin_slam_tpu.utils.map_io import load_implicit_map
-    from pin_slam_tpu.utils.eval_mesh import eval_mesh, sample_mesh_points
+    from pin_slam_tpu.utils.eval_mesh import (
+        crop_points_to_region, eval_mesh, point_to_mesh_distance,
+        sample_mesh_points)
     from pin_slam_tpu.ops.transforms import transform_points
 
     state, mlps, meta = load_implicit_map(
         os.path.join(args.art, "pin_map.npz"))
     gt_poses = np.load(os.path.join(args.art, "gt_poses.npy"))
-    A0 = gt_poses[0]
+    anchor_path = os.path.join(args.art, "map_anchor.npy")
+    # fallback for artifacts predating map_anchor.npy (slam-mode runs)
+    A0 = (np.load(anchor_path) if os.path.exists(anchor_path)
+          else gt_poses[0])
 
     cfg = Config()
     cfg.voxel_size_m = meta["voxel_size_m"]
@@ -86,6 +91,24 @@ def main():
             k: m[k] for k in ("Precision [Accuracy] (%)",
                               "Recall [Completeness] (%)", "F-score (%)",
                               "Chamfer_L1 (m)")}
+
+    # exact metrics (see eval_gauntlet.py): analytic precision + exact
+    # point-to-triangle recall — no point-sampling distance floor
+    pred_obs = crop_points_to_region(pred, gt[perm])
+    d_prec = np.abs(seq.scene_sdf(pred_obs.astype(np.float64)))
+    d_rec = point_to_mesh_distance(gt[perm], v, f)
+    exact = {}
+    for thr in (0.05, 0.1, 0.2):
+        P = 100.0 * float((d_prec < thr).mean())
+        R = 100.0 * float((d_rec < thr).mean())
+        exact[f"@{int(thr*100)}cm"] = {
+            "Precision [Accuracy] (%)": P,
+            "Recall [Completeness] (%)": R,
+            "F-score (%)": 2 * P * R / max(P + R, 1e-9)}
+    exact["Chamfer_L1 (m)"] = float(
+        0.5 * (np.minimum(d_prec, 0.5).mean()
+               + np.minimum(d_rec, 0.5).mean()))
+    out["mesh_exact"] = exact
     print(json.dumps(out, indent=2))
     with open(os.path.join(args.art, "mesh_rescore.json"), "w") as fp:
         json.dump(out, fp, indent=2)

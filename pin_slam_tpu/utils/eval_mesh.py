@@ -110,3 +110,78 @@ def eval_mesh(
         "F-score (%)": fscore,
         "Spacing (m)": threshold,
     }
+
+
+def point_to_mesh_distance(points: np.ndarray, verts: np.ndarray,
+                           faces: np.ndarray, k: int = 16,
+                           block: int = 65536) -> np.ndarray:
+    """EXACT point-to-triangle-mesh distance (Ericson's closest-point-on-
+    triangle, vectorized), with a centroid k-d tree preselecting `k`
+    candidate triangles per query.
+
+    Point-cloud-sampled chamfer (the reference protocol,
+    eval/eval_mesh_utils.py:94-125) adds the sample spacing as a distance
+    floor — at gauntlet densities (~3.5 cm median spacing) an exactly
+    correct surface fails a 5 cm threshold ~1/3 of the time. Exact
+    triangle distance removes that bias; candidate preselection keeps it
+    O(N k) instead of O(N F)."""
+    if faces.shape[0] == 0 or points.shape[0] == 0:
+        return np.full(points.shape[0], np.inf)
+    tri = verts[faces].astype(np.float64)          # [F, 3, 3]
+    cent = tri.mean(1)
+    tree = cKDTree(cent)
+    k = min(k, faces.shape[0])
+    out = np.empty(points.shape[0])
+    for s in range(0, points.shape[0], block):
+        p = points[s: s + block].astype(np.float64)
+        _, idx = tree.query(p, k=k)
+        if k == 1:
+            idx = idx[:, None]
+        t = tri[idx]                               # [B, k, 3, 3]
+        a, b, c = t[..., 0, :], t[..., 1, :], t[..., 2, :]
+        q = p[:, None, :]
+        ab, ac, ap = b - a, c - a, q - a
+        d1 = np.einsum("bkd,bkd->bk", ab, ap)
+        d2 = np.einsum("bkd,bkd->bk", ac, ap)
+        bp = q - b
+        d3 = np.einsum("bkd,bkd->bk", ab, bp)
+        d4 = np.einsum("bkd,bkd->bk", ac, bp)
+        cp = q - c
+        d5 = np.einsum("bkd,bkd->bk", ab, cp)
+        d6 = np.einsum("bkd,bkd->bk", ac, cp)
+        va = d3 * d6 - d5 * d4
+        vb = d5 * d2 - d1 * d6
+        vc = d1 * d4 - d3 * d2
+        denom = np.maximum(va + vb + vc, 1e-30)
+        v = np.clip(vb / denom, 0.0, 1.0)
+        w = np.clip(vc / denom, 0.0, 1.0)
+        # interior closest point, then clamp the six edge/vertex regions
+        closest = a + v[..., None] * ab + w[..., None] * ac
+        # vertex regions
+        closest = np.where((d1 <= 0)[..., None] & (d2 <= 0)[..., None],
+                           a, closest)
+        closest = np.where((d3 >= 0)[..., None] & (d4 <= d3)[..., None],
+                           b, closest)
+        closest = np.where((d6 >= 0)[..., None] & (d5 <= d6)[..., None],
+                           c, closest)
+        # edge AB
+        vab = np.clip(np.where(d1 - d3 != 0, d1 / np.maximum(d1 - d3, 1e-30),
+                               0.0), 0.0, 1.0)
+        on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+        closest = np.where(on_ab[..., None], a + vab[..., None] * ab,
+                           closest)
+        # edge AC
+        wac = np.clip(np.where(d2 - d6 != 0, d2 / np.maximum(d2 - d6, 1e-30),
+                               0.0), 0.0, 1.0)
+        on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+        closest = np.where(on_ac[..., None], a + wac[..., None] * ac,
+                           closest)
+        # edge BC
+        num = d4 - d3
+        wbc = np.clip(num / np.maximum(num + (d5 - d6), 1e-30), 0.0, 1.0)
+        on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+        closest = np.where(on_bc[..., None], b + wbc[..., None] * (c - b),
+                           closest)
+        d = np.linalg.norm(q - closest, axis=-1)
+        out[s: s + block] = d.min(1)
+    return out

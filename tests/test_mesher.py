@@ -140,3 +140,38 @@ class TestJoinModeOfflineQuery:
         out = mq.query_decode(state, state.geo_features, geo_mlp,
                               jnp.asarray(probe), qp)
         assert int(np.asarray(out.nn_count).min()) >= 6
+
+
+def test_point_to_mesh_distance_exact():
+    """Vectorized Ericson closest-point-on-triangle vs hand-computed
+    distances for every Voronoi region of a triangle."""
+    from pin_slam_tpu.utils.eval_mesh import point_to_mesh_distance
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], float)
+    f = np.array([[0, 1, 2]])
+    pts = np.array([
+        [0.2, 0.2, 0.5],    # above interior -> 0.5
+        [2, 0, 0],          # beyond vertex B -> 1.0
+        [0.5, -1, 0],       # below edge AB -> 1.0
+        [1, 1, 0],          # beyond hypotenuse -> sqrt(2)/2
+        [0.1, 0.1, 0.0],    # on the face -> 0
+        [-1, -1, 0],        # vertex-A region -> sqrt(2)
+    ])
+    d = point_to_mesh_distance(pts, v, f)
+    exp = [0.5, 1.0, 1.0, np.sqrt(2) / 2, 0.0, np.sqrt(2)]
+    np.testing.assert_allclose(d, exp, atol=1e-12)
+
+    # against brute-force sampled distance on a random mesh
+    rng = np.random.RandomState(3)
+    verts = rng.randn(30, 3)
+    faces = rng.randint(0, 30, (40, 3))
+    faces = faces[(faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+                  & (faces[:, 0] != faces[:, 2])]
+    from pin_slam_tpu.utils.eval_mesh import sample_mesh_points
+    dense = sample_mesh_points(verts, faces, 200_000, seed=1)
+    q = rng.randn(100, 3) * 2
+    d_exact = point_to_mesh_distance(q, verts, faces, k=len(faces))
+    from scipy.spatial import cKDTree
+    d_sampled, _ = cKDTree(dense).query(q)
+    # exact <= sampled, and within the sampling resolution
+    assert (d_exact <= d_sampled + 1e-9).all()
+    np.testing.assert_allclose(d_exact, d_sampled, atol=0.05)

@@ -116,3 +116,38 @@ class TestMappingModeGtPoses:
             pose = system.process_frame(fid, seq.frame(fid))
             np.testing.assert_allclose(pose, seq.poses[fid], atol=1e-9)
         assert int(system.state.count) > 1000
+
+
+class TestLostFrameGating:
+    """The single-pull frame loop gates mapping on DEVICE (frame_update's
+    do_map input) — a frame whose registration fails must not insert map
+    points or pool samples, with no host sync before the mapping dispatch."""
+
+    def test_garbage_frame_inserts_nothing(self):
+        cfg = small_config()
+        seq = SyntheticSequence(
+            scene_sdf=default_scene(),
+            poses=circle_trajectory(10, radius=6.0, revolutions=0.11),
+            dirs=lidar_directions(512, 32), max_range=60.0)
+        system = PinSLAMSystem(cfg)
+        for fid in range(7):
+            system.process_frame(fid, seq.frame(fid))
+        assert not system.lose_track
+        count_before = int(system.state.count)
+        pool_before = int(system.pool.count)
+
+        # teleported garbage: a scan from the far side of the scene with
+        # inverted geometry -> registration must fail all checks
+        rng = np.random.RandomState(0)
+        garbage = rng.rand(4000, 3).astype(np.float32) * 80 - 40
+        system.process_frame(7, garbage)
+        assert system.lose_track
+        assert int(system.state.count) == count_before, \
+            "lost frame must not insert map points"
+        assert int(system.pool.count) == pool_before, \
+            "lost frame must not append pool samples"
+        assert not system.last_did_map
+
+        # recovery: next good frame maps again
+        system.process_frame(8, seq.frame(8))
+        assert int(system.state.count) >= count_before

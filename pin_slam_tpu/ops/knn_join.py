@@ -120,16 +120,16 @@ def build_local_set(
 
 def _knn_kernel(qid_ref, pid_ref, flags_ref, q_ref, p_ref,
                 outd_ref, outi_ref, cnt_ref, cat_d, cat_i,
-                *, k, max_dist2):
+                *, k, max_dist2, tq, tl):
     i = pl.program_id(0)
     first = flags_ref[i] & 1
     valid = flags_ref[i] & 2
 
     @pl.when(first == 1)
     def _():
-        outd_ref[:] = jnp.full((TQ, k), BIG, jnp.float32)
-        outi_ref[:] = jnp.full((TQ, k), -1, jnp.int32)
-        cnt_ref[:] = jnp.zeros((TQ, 1), jnp.int32)
+        outd_ref[:] = jnp.full((tq, k), BIG, jnp.float32)
+        outi_ref[:] = jnp.full((tq, k), -1, jnp.int32)
+        cnt_ref[:] = jnp.zeros((tq, 1), jnp.int32)
 
     @pl.when(valid == 2)
     def _():
@@ -152,8 +152,8 @@ def _knn_kernel(qid_ref, pid_ref, flags_ref, q_ref, p_ref,
 
         @pl.when(improves)
         def _():
-            base = pid_ref[i] * TL
-            col = jax.lax.broadcasted_iota(jnp.int32, (TQ, TL), 1) + base
+            base = pid_ref[i] * tl
+            col = jax.lax.broadcasted_iota(jnp.int32, (tq, tl), 1) + base
 
             # merge into the running top-k: concat, k argmin rounds
             cat_d[:, :k] = outd_ref[:]
@@ -175,12 +175,14 @@ def _knn_kernel(qid_ref, pid_ref, flags_ref, q_ref, p_ref,
                 cat_d[:] = jnp.where(pick, BIG, cat_d[:])
 
 
-def _build_pairs(qs: jnp.ndarray, lpts: jnp.ndarray, max_dist2: float):
+def _build_pairs(qs: jnp.ndarray, lpts: jnp.ndarray, max_dist2: float,
+                 tq: int = TQ, tl: int = TL,
+                 pair_factor: int = PAIR_FACTOR):
     """Ragged (qid, pid) tile-pair list from bbox distances. Pure jnp."""
-    nq = qs.shape[0] // TQ
-    npt = lpts.shape[0] // TL
-    qt = qs.reshape(nq, TQ, 3)
-    pt = lpts.reshape(npt, TL, 3)
+    nq = qs.shape[0] // tq
+    npt = lpts.shape[0] // tl
+    qt = qs.reshape(nq, tq, 3)
+    pt = lpts.reshape(npt, tl, 3)
     q_real = jnp.abs(qt[:, :, 0]) < 1e8
     p_real = jnp.abs(pt[:, :, 0]) < 1e8
     inf3 = jnp.full((3,), jnp.inf)
@@ -194,45 +196,65 @@ def _build_pairs(qs: jnp.ndarray, lpts: jnp.ndarray, max_dist2: float):
     bb2 = jnp.sum(jnp.where(jnp.isfinite(gap), gap * gap, jnp.inf), -1)
     act = bb2 <= max_dist2                              # [nq, npt]
 
-    cap_pairs = PAIR_FACTOR * nq
+    cap_pairs = pair_factor * nq
     per_row_cap = min(npt, 48)
-    an = jnp.minimum(jnp.sum(act.astype(jnp.int32), 1), per_row_cap)
-    an = jnp.maximum(an, 1)            # every qtile gets its init step
     key = jnp.where(act, bb2, jnp.inf)
-    ids = jnp.argsort(key, axis=1)[:, :per_row_cap].astype(jnp.int32)
+    order = jnp.argsort(key, axis=1)[:, :per_row_cap].astype(jnp.int32)
+    ids = order                                          # [nq, R] nearest-1st
+    bb2_sel = jnp.take_along_axis(key, order, axis=1)    # inf = inactive
+    act_sel = jnp.isfinite(bb2_sel)
 
-    off = jnp.cumsum(an) - an                           # [nq]
-    j = jnp.arange(per_row_cap)[None, :]
-    slot = off[:, None] + j                             # [nq, per_row_cap]
-    put = (j < an[:, None]) & (slot < cap_pairs)
-    slot = jnp.where(put, slot, cap_pairs)
+    # GLOBAL nearest-first slot allocation under the cap_pairs budget:
+    # every row's nearest tile is mandatory (priority -1, so it always
+    # wins a slot and carries the row's init step); remaining slots go to
+    # the globally closest (row, tile) candidates. A per-row greedy
+    # cumsum allocation instead lets early rows exhaust the budget and
+    # leaves later query tiles with NO pairs — their output blocks would
+    # never be initialized (observed as silently missing neighbors on
+    # dense maps).
+    pri = jnp.where(act_sel, bb2_sel, jnp.inf).at[:, 0].set(-1.0)
+    flat_pri = pri.reshape(-1)                           # row-major: row
+    rank = jnp.argsort(flat_pri)                         # asc
+    n_cand = flat_pri.shape[0]
+    sel = jnp.zeros((n_cand,), bool).at[
+        rank[: min(cap_pairs, n_cand)]].set(True)
+    sel = sel & jnp.isfinite(flat_pri) | (flat_pri < 0.0)
+
+    # enumerate selected pairs in row-major order (= per row nearest-first,
+    # rows contiguous — the kernel's output blocks stay monotone in qid)
+    slot = jnp.where(sel, jnp.cumsum(sel.astype(jnp.int32)) - 1, cap_pairs)
+    slot = jnp.minimum(slot, cap_pairs)
     qrow = jnp.broadcast_to(jnp.arange(nq, dtype=jnp.int32)[:, None],
-                            ids.shape)
-    # padded steps carry the previous qid so output blocks stay monotone;
-    # fill with the LAST real qid (nq-1) and valid=0
+                            ids.shape).reshape(-1)
+    # padded tail: last real qid, valid=0
     qid = jnp.full((cap_pairs + 1,), nq - 1, jnp.int32
-                   ).at[slot.reshape(-1)].set(qrow.reshape(-1))[:cap_pairs]
+                   ).at[slot].set(qrow)[:cap_pairs]
     pid = jnp.zeros((cap_pairs + 1,), jnp.int32
-                    ).at[slot.reshape(-1)].set(ids.reshape(-1))[:cap_pairs]
-    valid_f = jnp.zeros((cap_pairs + 1,), jnp.int32
-                        ).at[slot.reshape(-1)].set(
-        (act[qrow.reshape(-1), ids.reshape(-1)]).astype(jnp.int32) * 2
-    )[:cap_pairs]
-    first_f = jnp.zeros((cap_pairs + 1,), jnp.int32).at[
-        jnp.where(off < cap_pairs, off, cap_pairs)].set(1)[:cap_pairs]
+                    ).at[slot].set(ids.reshape(-1))[:cap_pairs]
+    valid_f = jnp.zeros((cap_pairs + 1,), jnp.int32).at[slot].set(
+        act_sel.reshape(-1).astype(jnp.int32) * 2)[:cap_pairs]
+    # the row-major first selected candidate of each row is its j==0
+    # mandatory tile — that slot carries the init flag
+    first_mask = jnp.zeros((nq, per_row_cap), bool).at[:, 0].set(True)
+    first_f = jnp.zeros((cap_pairs + 1,), jnp.int32).at[slot].set(
+        first_mask.reshape(-1).astype(jnp.int32))[:cap_pairs]
     flags = valid_f | first_f
     return qid, pid, flags, cap_pairs
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_dist2", "resolution",
-                                             "interpret"))
+                                             "interpret", "tq", "tl",
+                                             "pair_factor"))
 def knn_join(
-    qpts: jnp.ndarray,        # [N, 3] f32, N a multiple of TQ (pad with 1e9)
-    lset_pts: jnp.ndarray,    # [L, 3] Morton-sorted local points (L % TL = 0)
+    qpts: jnp.ndarray,        # [N, 3] f32, N a multiple of tq (pad with 1e9)
+    lset_pts: jnp.ndarray,    # [L, 3] Morton-sorted local points (L % tl = 0)
     k: int,
     max_dist2: float,
     resolution: float,
     interpret: bool = None,   # default: interpret off-TPU (CPU tests)
+    tq: int = TQ,
+    tl: int = TL,
+    pair_factor: int = PAIR_FACTOR,
 ):
     """Exact radius-bounded k-NN of qpts against the local set.
 
@@ -241,7 +263,7 @@ def knn_join(
     """
     n = qpts.shape[0]
     L = lset_pts.shape[0]
-    assert n % TQ == 0 and L % TL == 0, (n, L)
+    assert n % tq == 0 and L % tl == 0, (n, L)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -249,31 +271,33 @@ def knn_join(
     qsi = _sort_by_morton(qpts, qvalid, resolution * 4.0)
     qs = qpts[qsi]
 
-    qid, pid, flags, cap_pairs = _build_pairs(qs, lset_pts, max_dist2)
+    qid, pid, flags, cap_pairs = _build_pairs(qs, lset_pts, max_dist2,
+                                              tq, tl, pair_factor)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(cap_pairs,),
         in_specs=[
-            pl.BlockSpec((TQ, 3), lambda i, qid, pid, fl: (qid[i], 0),
+            pl.BlockSpec((tq, 3), lambda i, qid, pid, fl: (qid[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TL, 3), lambda i, qid, pid, fl: (pid[i], 0),
+            pl.BlockSpec((tl, 3), lambda i, qid, pid, fl: (pid[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TQ, k), lambda i, qid, pid, fl: (qid[i], 0),
+            pl.BlockSpec((tq, k), lambda i, qid, pid, fl: (qid[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TQ, k), lambda i, qid, pid, fl: (qid[i], 0),
+            pl.BlockSpec((tq, k), lambda i, qid, pid, fl: (qid[i], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TQ, 1), lambda i, qid, pid, fl: (qid[i], 0),
+            pl.BlockSpec((tq, 1), lambda i, qid, pid, fl: (qid[i], 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TQ, TL + k), jnp.float32),
-            pltpu.VMEM((TQ, TL + k), jnp.int32),
+            pltpu.VMEM((tq, tl + k), jnp.float32),
+            pltpu.VMEM((tq, tl + k), jnp.int32),
         ],
     )
-    kern = functools.partial(_knn_kernel, k=k, max_dist2=max_dist2)
+    kern = functools.partial(_knn_kernel, k=k, max_dist2=max_dist2,
+                             tq=tq, tl=tl)
     outd, outi, cnt = pl.pallas_call(
         kern,
         grid_spec=grid_spec,

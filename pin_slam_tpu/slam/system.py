@@ -46,18 +46,32 @@ from pin_slam_tpu.slam import tracker as tk
 
 def compute_init_guess(uniform_motion: bool, motion_model: str,
                        last_pose: np.ndarray,
-                       last_tran: np.ndarray) -> np.ndarray:
+                       last_tran: np.ndarray,
+                       damping: float = 0.5) -> np.ndarray:
     """Tracker initial guess (reference: slam_dataset.py:359-389).
     "full" extrapolates the whole last relative motion; "translation"
     extrapolates the translation rate but keeps the last orientation —
     rotation-rate extrapolation feeds each frame's residual yaw error back
     through the freshly-mapped sector and destabilizes sustained turns
     (measured exponential yaw runaway on eval/eval_gauntlet.py scenes),
-    while rotation re-convergence from the last orientation is cheap."""
+    while rotation re-convergence from the last orientation is cheap.
+    "damped" extrapolates the translation fully but only `damping` of the
+    rotation (axis-angle scaling): the init stays deliberately BEHIND the
+    true rotation, so residual errors oppose the turn instead of feeding
+    the overshoot loop, while starting closer than "translation" (fewer
+    GN iterations on sustained turns)."""
     if not uniform_motion:
         return last_pose.copy()
     if motion_model == "translation":
         init = last_pose.copy()
+        init[:3, 3] = (last_pose @ last_tran)[:3, 3]
+        return init
+    if motion_model == "damped":
+        from pin_slam_tpu.ops.transforms import np_slerp_rotmats
+        tran = last_tran.copy()
+        tran[:3, :3] = np_slerp_rotmats(
+            last_tran[:3, :3], np.array([damping]))[0]
+        init = last_pose @ tran
         init[:3, 3] = (last_pose @ last_tran)[:3, 3]
         return init
     return last_pose @ last_tran
@@ -561,7 +575,8 @@ class PinSLAMSystem:
         else:
             init_guess = compute_init_guess(
                 c.uniform_motion_on and not self.lose_track,
-                c.motion_model, self.last_pose_ref, self.last_odom_tran)
+                c.motion_model, self.last_pose_ref, self.last_odom_tran,
+                damping=c.motion_damping)
             if not c.track_on and self.gt_poses is not None:
                 init_guess = self.gt_poses[frame_id]
 

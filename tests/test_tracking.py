@@ -175,6 +175,14 @@ def test_init_guess_motion_models():
 
     still = compute_init_guess(False, "translation", pose, last_tran)
     np.testing.assert_allclose(still, pose)
-    # default is the stable model
+
+    # damped: full translation, half the rotation angle
+    dm = compute_init_guess(True, "damped", pose, last_tran, damping=0.5)
+    np.testing.assert_allclose(dm[:3, 3], (pose @ last_tran)[:3, 3])
+    rel = np.linalg.inv(pose[:3, :3]) @ dm[:3, :3]
+    ang = np.arccos(np.clip((np.trace(rel) - 1) / 2, -1, 1))
+    np.testing.assert_allclose(ang, th / 2, atol=1e-9)
+
+    # default is the stable damped model
     from pin_slam_tpu.config import Config
-    assert Config().motion_model == "translation"
+    assert Config().motion_model == "damped"

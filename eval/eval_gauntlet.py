@@ -37,6 +37,9 @@ def main():
     p.add_argument("--gt-poses", action="store_true",
                    help="mapping-mode: feed GT poses (no tracking/PGO) — "
                    "isolates mapping+meshing fidelity from SLAM drift")
+    p.add_argument("--no-mid-ts", action="store_true",
+                   help="window by creation ts only (sharper map under "
+                   "residual drift, but geometry ages out while in view)")
     a = p.parse_args()
 
     if a.cpu:
@@ -106,7 +109,7 @@ def main():
     # NCD-style mid-timestamp window (reference run_ncd.yaml:21): the
     # course re-observes the same walls every lap, and windowing by
     # creation ts alone would age out geometry that is still in view
-    cfg.use_mid_ts = True
+    cfg.use_mid_ts = not a.no_mid_ts
 
     seq = SyntheticSequence(
         scene_sdf=default_scene(half_extent=(22.0, 16.0, 4.0)),

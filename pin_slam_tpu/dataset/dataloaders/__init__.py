@@ -5,8 +5,9 @@ Rebuilds the reference's kiss-icp-derived loader collection
 Every loader yields per-frame dicts {"points": [N,3(+c)] float64,
 "point_ts": [N] or None} and optionally exposes `gt_poses`.
 
-Loaders whose dependencies aren't in this environment (rosbags, ouster-sdk,
-nuscenes-devkit, opencv) raise an informative ImportError at construction.
+rosbag (ROS1 bags) and mcap run on in-repo pure-Python readers
+(dataset/rosbag1.py, dataset/mcap1.py); only the ouster loader (raw
+pcap packets need ouster-sdk) raises an informative ImportError.
 """
 
 from __future__ import annotations
@@ -80,9 +81,8 @@ def dataset_factory(dataloader: str, data_dir, *args, **kwargs):
         from pin_slam_tpu.dataset.dataloaders.rosbag import RosbagDataset
         return RosbagDataset(data_dir, *args, **kwargs)
     if dl == "mcap":
-        raise ImportError(
-            "the 'mcap' loader needs the 'rosbags' package, which is not "
-            "available in this environment")
+        from pin_slam_tpu.dataset.dataloaders.mcap import McapDataloader
+        return McapDataloader(data_dir, *args, **kwargs)
     if dl == "ouster":
         raise ImportError(
             "the 'ouster' loader needs the 'ouster-sdk' package, which is "

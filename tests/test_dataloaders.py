@@ -221,3 +221,44 @@ class TestRosbag1:
         write_bag1(str(tmp_path / "f.bag"), self._clouds(2))
         ds = dataset_factory("rosbag", tmp_path / "f.bag")
         assert len(ds) == 2
+
+
+class TestMcap:
+    """Pure-Python MCAP reader round-trip in both channel encodings."""
+
+    def _clouds(self, n_frames=3, n=400):
+        rng = np.random.RandomState(2)
+        return [(rng.randn(n, 3).astype(np.float32) * 4 + k,
+                 np.linspace(0, 0.1, n).astype(np.float32))
+                for k in range(n_frames)]
+
+    @pytest.mark.parametrize("enc", ["cdr", "ros1"])
+    def test_roundtrip(self, tmp_path, enc):
+        from pin_slam_tpu.dataset.mcap1 import McapReader, write_mcap
+        from pin_slam_tpu.dataset.dataloaders.mcap import McapDataloader
+        clouds = self._clouds()
+        path = str(tmp_path / f"seq_{enc}.mcap")
+        write_mcap(path, clouds, topic="/os/points", encoding=enc)
+
+        r = McapReader(path)
+        tps = r.topics()
+        assert "/os/points" in tps and tps["/os/points"][2] == 3
+
+        ds = McapDataloader(path)
+        assert len(ds) == 3
+        for k in range(3):
+            fd = ds[k]
+            np.testing.assert_allclose(fd["points"], clouds[k][0],
+                                       atol=1e-6)
+            np.testing.assert_allclose(
+                fd["point_ts"], np.linspace(0, 1, 400), atol=1e-4)
+
+    def test_factory_and_topic_error(self, tmp_path):
+        from pin_slam_tpu.dataset.mcap1 import write_mcap
+        from pin_slam_tpu.dataset.dataloaders import dataset_factory
+        path = str(tmp_path / "f.mcap")
+        write_mcap(path, self._clouds(2))
+        ds = dataset_factory("mcap", path)
+        assert len(ds) == 2
+        with pytest.raises(ValueError, match="not found"):
+            dataset_factory("mcap", path, "/wrong")

@@ -455,16 +455,49 @@ class PinSLAMSystem:
 
         self._select_pose = jax.jit(select_pose)
 
+        # fused odometry chain for the standard (join-mode, geometry-only)
+        # path: lset build + GN track + device pose selection in ONE
+        # dispatch (each separate dispatch costs tunnel latency)
+        if self._use_join:
+            def track_chain(state, geo_features, geo_mlp, src_pts, src_n,
+                            T_init, lf, anchor, fid, reboot_ts,
+                            sensor_pos):
+                lset_t, feats, _ = self._build_lset_track(
+                    state, geo_features, lf.travel_dist, lf.cur_ts,
+                    sensor_pos, reboot_ts)
+                res = self._track(
+                    state, feats, geo_mlp, src_pts,
+                    jnp.arange(src_pts.shape[0]) < src_n, T_init, lf,
+                    anchor, lset=lset_t)
+                T32, td_new, mapok = select_pose(
+                    res.valid, res.iterations, res.pose, T_init, anchor,
+                    lf.travel_dist, fid)
+                return res, T32, td_new, mapok
+
+            self._track_chain = jax.jit(track_chain)
+
     # -------------------------------------------------------------- helpers
 
     def _get_train_loop(self, iters: int, train_decoder: bool):
         k = (iters, train_decoder)
         if k not in self._train_loops:
             c = self.config
-            self._train_loops[k] = mp.make_train_loop(
+            inner = mp.make_train_loop(
                 self.qp, self.optimizer, n_iters=iters, bs=c.bs,
                 bs_new=c.bs_new_sample, train_decoder=train_decoder,
                 loss_kwargs=self._loss_kwargs)
+            if self._use_join:
+                # fuse the lset build into the same program: one dispatch
+                # for the whole mapping run (jitted callees trace inline)
+                def fused(params, opt_state, state, pool, key, lf,
+                          use_new, reboot_ts):
+                    ls = self._build_lset_train(
+                        state, lf.travel_dist, lf.cur_ts, reboot_ts)
+                    return inner(params, opt_state, state, pool, key,
+                                 lf, use_new, ls)
+                self._train_loops[k] = jax.jit(fused)
+            else:
+                self._train_loops[k] = inner
         return self._train_loops[k]
 
     def _lf(self, cur_ts: int, sensor_pos=None):
@@ -615,51 +648,67 @@ class PinSLAMSystem:
             lf = (None if self.localization_mode else
                   self._lf(frame_id - 1,
                            sensor_pos=self.last_pose_ref[:3, 3] - anchor))
-            color_kwargs = {}
-            track_feats = self.params["geo_features"]
-            track_cfeats = self.params.get("color_features")
-            if self._use_join and not self.localization_mode:
-                td_t = jnp.asarray(
-                    self.travel_dist[: self.max_frames], jnp.float32)
-                lset_t, track_feats, lcf = self._build_lset_track(
-                    self.state, self.params["geo_features"], td_t,
-                    jnp.int32(frame_id - 1),
-                    jnp.asarray(self.last_pose_ref[:3, 3], jnp.float32),
-                    jnp.int32(self.reboot_ts))
-                color_kwargs["lset"] = lset_t
-                if lcf is not None:
-                    track_cfeats = lcf
-            if c.color_on and (c.photometric_loss_on or c.consist_wieght_on):
-                cols = src_attr[:, : c.color_channel]
-                # rgb -> intensity (reference color_to_intensity,
-                # utils/tools.py)
-                inten = (cols[:, 0] if c.color_channel == 1 else
-                         0.299 * cols[:, 0] + 0.587 * cols[:, 1]
-                         + 0.114 * cols[:, 2])
-                color_kwargs.update(
-                    src_intensity=inten,
-                    color_features=track_cfeats,
-                    color_mlp=self.params.get("color_mlp"))
-            res = self._track(
-                self.state, track_feats,
-                self.params["geo_mlp"], src_pts,
-                jnp.arange(c.source_point_cap) < src_n,
-                jnp.asarray(T_init, jnp.float32), lf,
-                jnp.asarray(anchor, jnp.float32), **color_kwargs)
-            self.last_tracking = res
-            # NO host sync here: the pose the frame logic needs is picked
-            # on device (select_pose) so mapping can be dispatched right
-            # behind the tracker; everything the host needs surfaces in
-            # ONE batched pull after the mapping dispatches (each separate
-            # pull costs a full ~35 ms tunnel RTT).
-            T32_dev, td_dev, mapok_dev = self._select_pose(
-                res.valid, res.iterations, res.pose,
-                jnp.asarray(T_init, jnp.float32),
-                jnp.asarray(anchor, jnp.float32),
-                jnp.asarray(self.travel_dist[: self.max_frames],
-                            jnp.float32),
-                jnp.int32(frame_id))
-            tracked = True
+            use_color = c.color_on and (c.photometric_loss_on
+                                        or c.consist_wieght_on)
+            # NO host sync in either branch: the pose the frame logic
+            # needs is picked on device (select_pose) so mapping can be
+            # dispatched right behind the tracker; everything the host
+            # needs surfaces in ONE batched pull after the mapping
+            # dispatches (each separate pull costs a ~35 ms tunnel RTT).
+            if self._use_join and not self.localization_mode \
+                    and not use_color:
+                # fused chain: lset build + track + select = ONE dispatch
+                res, T32_dev, td_dev, mapok_dev = self._track_chain(
+                    self.state, self.params["geo_features"],
+                    self.params["geo_mlp"], src_pts, src_n,
+                    jnp.asarray(T_init, jnp.float32), lf,
+                    jnp.asarray(anchor, jnp.float32),
+                    jnp.int32(frame_id), jnp.int32(self.reboot_ts),
+                    jnp.asarray(self.last_pose_ref[:3, 3], jnp.float32))
+                self.last_tracking = res
+                tracked = True
+            else:
+                color_kwargs = {}
+                track_feats = self.params["geo_features"]
+                track_cfeats = self.params.get("color_features")
+                if self._use_join and not self.localization_mode:
+                    td_t = jnp.asarray(
+                        self.travel_dist[: self.max_frames], jnp.float32)
+                    lset_t, track_feats, lcf = self._build_lset_track(
+                        self.state, self.params["geo_features"], td_t,
+                        jnp.int32(frame_id - 1),
+                        jnp.asarray(self.last_pose_ref[:3, 3],
+                                    jnp.float32),
+                        jnp.int32(self.reboot_ts))
+                    color_kwargs["lset"] = lset_t
+                    if lcf is not None:
+                        track_cfeats = lcf
+                if use_color:
+                    cols = src_attr[:, : c.color_channel]
+                    # rgb -> intensity (reference color_to_intensity,
+                    # utils/tools.py)
+                    inten = (cols[:, 0] if c.color_channel == 1 else
+                             0.299 * cols[:, 0] + 0.587 * cols[:, 1]
+                             + 0.114 * cols[:, 2])
+                    color_kwargs.update(
+                        src_intensity=inten,
+                        color_features=track_cfeats,
+                        color_mlp=self.params.get("color_mlp"))
+                res = self._track(
+                    self.state, track_feats,
+                    self.params["geo_mlp"], src_pts,
+                    jnp.arange(c.source_point_cap) < src_n,
+                    jnp.asarray(T_init, jnp.float32), lf,
+                    jnp.asarray(anchor, jnp.float32), **color_kwargs)
+                self.last_tracking = res
+                T32_dev, td_dev, mapok_dev = self._select_pose(
+                    res.valid, res.iterations, res.pose,
+                    jnp.asarray(T_init, jnp.float32),
+                    jnp.asarray(anchor, jnp.float32),
+                    jnp.asarray(self.travel_dist[: self.max_frames],
+                                jnp.float32),
+                    jnp.int32(frame_id))
+                tracked = True
         elif frame_id > 0:
             if self.gt_poses is None:
                 raise ValueError("mapping mode requires gt poses")
@@ -825,16 +874,12 @@ class PinSLAMSystem:
             self.opt_state = self.optimizer.init(self.params)
         lf = self._lf(frame_id)
         use_new = jnp.bool_(not (self.lose_track or self.stop_status))
-        lset = None
-        if self._use_join:
-            td = jnp.asarray(self.travel_dist[: self.max_frames], jnp.float32)
-            lset = self._build_lset_train(
-                self.state, td, jnp.int32(frame_id),
-                jnp.int32(self.reboot_ts))
         loop = self._get_train_loop(iters, not self.decoder_freezed)
+        # join mode: the lset build is fused into the loop program
+        tail = (jnp.int32(self.reboot_ts) if self._use_join else None)
         (self.params, self.opt_state, self.state, self.key,
          losses) = loop(self.params, self.opt_state, self.state, self.pool,
-                        self.key, lf, use_new, lset)
+                        self.key, lf, use_new, tail)
         metrics = {"loss": losses[-1]}
         # write trained features back to the map (assign_local_to_global
         # equivalent; reference model/neural_points.py:515-526)

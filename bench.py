@@ -122,6 +122,26 @@ def main():
     breakdown = " ".join(
         f"{l}={v*1e3:.0f}ms" for l, v in zip(labels, np.median(t, 0)))
     print(f"[bench] stage medians: {breakdown}", file=sys.stderr)
+
+    # tracked kernel metric (BASELINE.md north star): mesher-style dense
+    # SDF queries/sec against the built map
+    import jax.numpy as jnp
+    from pin_slam_tpu.slam import map_query as mq
+    bs_q = 1 << 15
+    rng = np.random.RandomState(0)
+    qpts = jnp.asarray(rng.rand(bs_q, 3).astype(np.float32) * 80 - 40)
+    qf = jax.jit(lambda s, gf, m, q: mq.query_decode(
+        s, gf, m, q, system.qp).sdf)
+    args = (system.state, system.params["geo_features"],
+            system.params["geo_mlp"], qpts)
+    jax.block_until_ready(qf(*args))
+    t0 = time.time()
+    reps = 20
+    for _ in range(reps):
+        out = qf(*args)
+    jax.block_until_ready(out)
+    qps = bs_q * reps / (time.time() - t0)
+    print(f"[bench] mesher SDF queries: {qps/1e6:.2f} M/s", file=sys.stderr)
     print(json.dumps(result))
 
 

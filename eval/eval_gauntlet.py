@@ -40,6 +40,13 @@ def main():
     p.add_argument("--no-mid-ts", action="store_true",
                    help="window by creation ts only (sharper map under "
                    "residual drift, but geometry ages out while in view)")
+    p.add_argument("--semantic", action="store_true",
+                   help="semantic mapping-mode: per-point class labels "
+                   "from the labeled scene; reports class accuracy/IoU "
+                   "at GT surface points")
+    p.add_argument("--localize", metavar="PIN_MAP_NPZ",
+                   help="localization mode: load this saved map, freeze "
+                   "it, track against it (reference: pin_slam.py:157-177)")
     a = p.parse_args()
 
     if a.cpu:
@@ -67,6 +74,8 @@ def main():
     from pin_slam_tpu.ops.transforms import transform_points
     import jax.numpy as jnp
 
+    if a.semantic:
+        a.gt_poses = True
     cfg = Config()
     cfg.track_on = not a.gt_poses
     cfg.pgo_on = (not a.no_pgo) and (not a.gt_poses)
@@ -110,15 +119,30 @@ def main():
     # course re-observes the same walls every lap, and windowing by
     # creation ts alone would age out geometry that is still in view
     cfg.use_mid_ts = not a.no_mid_ts
+    label_fn = None
+    if a.semantic:
+        from pin_slam_tpu.dataset.synthetic import default_scene_semantic
+        cfg.semantic_on = True
+        cfg.sem_class_count = 4
+        scene, label_fn = default_scene_semantic(
+            half_extent=(22.0, 16.0, 4.0))
+    else:
+        scene = default_scene(half_extent=(22.0, 16.0, 4.0))
 
     seq = SyntheticSequence(
-        scene_sdf=default_scene(half_extent=(22.0, 16.0, 4.0)),
+        scene_sdf=scene,
         poses=circle_trajectory(a.frames, radius=8.0,
                                 revolutions=a.laps, ease_in_frames=6),
         dirs=lidar_directions(512, 32), max_range=60.0)
 
     system = PinSLAMSystem(cfg)
-    if a.gt_poses:
+    if a.localize:
+        # track against a frozen prebuilt map (world frame); only the
+        # frame-0 pose seeds the tracker
+        system.load_map(a.localize)
+        system.set_gt_poses(seq.poses)
+        cfg.pgo_on = False
+    elif a.gt_poses:
         # mapping-mode: system anchors at gt_poses[0] (world frame)
         system.set_gt_poses(seq.poses)
     # SLAM evaluation otherwise: no gt handed to the system at all
@@ -137,7 +161,12 @@ def main():
                                  / np.maximum(d, 1.0))
         hook = (None if loop_mgr is None else
                 (lambda f, _p=pts: loop_mgr.after_frame(f, _p)))
-        system.process_frame(fid, pts, loop_hook=hook)
+        sem = None
+        if label_fn is not None:
+            w = pts[:, :3] @ seq.poses[fid][:3, :3].T.astype(np.float32) \
+                + seq.poses[fid][:3, 3].astype(np.float32)
+            sem = label_fn(w)
+        system.process_frame(fid, pts, loop_hook=hook, sem_labels=sem)
         if fid % 3 == 0:
             w = np.asarray(transform_points(
                 jnp.asarray(seq.frame(fid)[:, :3]),
@@ -157,13 +186,27 @@ def main():
     # Re-anchor the estimates into the GT world frame so the strict
     # (no-Umeyama) ATE is meaningful. In gt-poses mode the system is
     # already world-anchored.
-    A0 = np.eye(4) if a.gt_poses else seq.poses[0]
+    A0 = np.eye(4) if (a.gt_poses or a.localize) else seq.poses[0]
     slam_poses = A0 @ system.pgo_poses[:n]
     odom_poses = A0 @ system.odom_poses[:n]
     ate_s, are_s = absolute_error(seq.poses[:n], slam_poses, False)
     ate_o, are_o = absolute_error(seq.poses[:n], odom_poses, False)
     dt_s, dr_s = relative_error(seq.poses[:n], slam_poses, lengths, step=5)
     dt_o, dr_o = relative_error(seq.poses[:n], odom_poses, lengths, step=5)
+
+    if a.localize:
+        results = {
+            "mode": "localization(frozen map)",
+            "frames": n,
+            "trajectory_length_m": float(2 * np.pi * 8.0 * a.laps),
+            "odom": {"ATE_RMSE_m": ate_o, "ARE_deg": are_o,
+                     "drift_t_pct": dt_o, "drift_r_deg_per_m": dr_o},
+        }
+        os.makedirs(os.path.dirname(a.out), exist_ok=True)
+        with open(a.out, "w") as fp:
+            json.dump(results, fp, indent=2)
+        print(json.dumps(results, indent=2))
+        return
 
     mesher = Mesher(system.qp, MeshConfig(
         mc_res_m=0.1, mesh_min_nn=10, min_cluster_vertices=300,
@@ -210,8 +253,12 @@ def main():
         0.5 * (np.minimum(d_prec, 0.5).mean()
                + np.minimum(d_rec, 0.5).mean()))
 
-    if a.gt_poses and a.out == "eval/gauntlet_results.json":
+    if a.semantic and a.out == "eval/gauntlet_results.json":
+        a.out = "eval/gauntlet_semantic_results.json"
+    elif a.gt_poses and a.out == "eval/gauntlet_results.json":
         a.out = "eval/gauntlet_mapping_results.json"
+    if a.localize and a.out == "eval/gauntlet_results.json":
+        a.out = "eval/gauntlet_localization_results.json"
     results = {
         "mode": "mapping(gt-poses)" if a.gt_poses else "slam",
         "frames": n,
@@ -238,6 +285,42 @@ def main():
         "map_points": int(system.state.count),
         "mesh_vertices": int(v.shape[0]),
     }
+    if a.semantic:
+        # predicted class at GT surface points vs the geometric GT label
+        from pin_slam_tpu.slam import map_query as mq
+        probe = gt[perm][:100_000].astype(np.float32)
+        pr = np.zeros(len(probe), np.int32)
+        nnv = np.zeros(len(probe), np.int32)
+        bq = 1 << 14
+        qf = jax.jit(lambda q: (
+            jnp.argmax(mq.query_decode(
+                system.state, system.params["geo_features"],
+                system.params["geo_mlp"], q, system.qp,
+                sem_mlp=system.params["sem_mlp"]).sem_log_prob, -1),
+            mq.query_decode(
+                system.state, system.params["geo_features"],
+                system.params["geo_mlp"], q, system.qp).nn_count))
+        for b0 in range(0, len(probe), bq):
+            blk = np.zeros((bq, 3), np.float32)
+            nblk = min(bq, len(probe) - b0)
+            blk[:nblk] = probe[b0: b0 + nblk]
+            pd, nc = qf(jnp.asarray(blk))
+            pr[b0: b0 + nblk] = np.asarray(pd)[:nblk]
+            nnv[b0: b0 + nblk] = np.asarray(nc)[:nblk]
+        gt_lab = label_fn(probe.astype(np.float64))
+        vmask = nnv >= 6
+        acc = float((pr[vmask] == gt_lab[vmask]).mean())
+        ious = {}
+        for cls in (1, 2, 3):
+            inter = float(((pr == cls) & (gt_lab == cls) & vmask).sum())
+            union = float((((pr == cls) | (gt_lab == cls)) & vmask).sum())
+            ious[f"class_{cls}"] = inter / max(union, 1.0)
+        results["semantics"] = {
+            "accuracy_at_gt_surface": acc,
+            "mIoU": float(np.mean(list(ious.values()))),
+            **ious,
+            "coverage": float(vmask.mean()),
+        }
     os.makedirs(os.path.dirname(a.out), exist_ok=True)
     with open(a.out, "w") as fp:
         json.dump(results, fp, indent=2)

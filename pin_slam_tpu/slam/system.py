@@ -555,6 +555,22 @@ class PinSLAMSystem:
             self.params["color_features"] = state.color_features
         self.decoder_freezed = True
         self.localization_mode = True
+        if self._use_join:
+            # the map is frozen: build the spatial-join set ONCE over all
+            # alive rows and reuse it every frame (no per-frame local-map
+            # rebuild, and the tracker keeps the fast join probe instead
+            # of falling back to the cell-table path)
+            from pin_slam_tpu.ops import knn_join as kj
+            cnt = int(self.state.count)
+            cap = max(1, -(-cnt // kj.TL)) * kj.TL
+            m = jnp.arange(self.state.capacity) < cnt
+            self._loc_lset = jax.jit(
+                lambda s: kj.build_local_set(
+                    s.positions, m, self.config.voxel_size_m, cap,
+                    certainty=s.certainty,
+                    orientations=s.orientations))(self.state)
+            self._loc_feats = self.params["geo_features"][
+                self._loc_lset.gidx]
 
     def grow_map_capacity(self, factor: int = 2):
         """Double the neural-point capacity when the map nears it
@@ -671,6 +687,10 @@ class PinSLAMSystem:
                 color_kwargs = {}
                 track_feats = self.params["geo_features"]
                 track_cfeats = self.params.get("color_features")
+                if self._use_join and self.localization_mode:
+                    # frozen-map lset precomputed at load_map
+                    color_kwargs["lset"] = self._loc_lset
+                    track_feats = self._loc_feats
                 if self._use_join and not self.localization_mode:
                     td_t = jnp.asarray(
                         self.travel_dist[: self.max_frames], jnp.float32)

@@ -200,7 +200,7 @@ def main():
             "frames": n,
             "trajectory_length_m": float(2 * np.pi * 8.0 * a.laps),
             "odom": {"ATE_RMSE_m": ate_o, "ARE_deg": are_o,
-                     "drift_t_pct": dt_o, "drift_r_deg_per_m": dr_o},
+                     "drift_t_pct": dt_o, "drift_r_deg_per_100m": dr_o},
         }
         os.makedirs(os.path.dirname(a.out), exist_ok=True)
         with open(a.out, "w") as fp:
@@ -265,9 +265,9 @@ def main():
         "trajectory_length_m": float(2 * np.pi * 8.0 * a.laps),
         "loop_closures": 0 if loop_mgr is None else int(loop_mgr.pgo_count),
         "slam": {"ATE_RMSE_m": ate_s, "ARE_deg": are_s,
-                 "drift_t_pct": dt_s, "drift_r_deg_per_m": dr_s},
+                 "drift_t_pct": dt_s, "drift_r_deg_per_100m": dr_s},
         "odom": {"ATE_RMSE_m": ate_o, "ARE_deg": are_o,
-                 "drift_t_pct": dt_o, "drift_r_deg_per_m": dr_o},
+                 "drift_t_pct": dt_o, "drift_r_deg_per_100m": dr_o},
         "mesh@5cm": {k: mesh5[k] for k in
                      ("Precision [Accuracy] (%)",
                       "Recall [Completeness] (%)", "F-score (%)",

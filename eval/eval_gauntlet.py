@@ -195,6 +195,8 @@ def main():
     dt_o, dr_o = relative_error(seq.poses[:n], odom_poses, lengths, step=5)
 
     if a.localize:
+        if a.out == "eval/gauntlet_results.json":
+            a.out = "eval/gauntlet_localization_results.json"
         results = {
             "mode": "localization(frozen map)",
             "frames": n,
@@ -257,8 +259,6 @@ def main():
         a.out = "eval/gauntlet_semantic_results.json"
     elif a.gt_poses and a.out == "eval/gauntlet_results.json":
         a.out = "eval/gauntlet_mapping_results.json"
-    if a.localize and a.out == "eval/gauntlet_results.json":
-        a.out = "eval/gauntlet_localization_results.json"
     results = {
         "mode": "mapping(gt-poses)" if a.gt_poses else "slam",
         "frames": n,

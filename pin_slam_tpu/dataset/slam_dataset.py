@@ -167,7 +167,8 @@ class SLAMDataset:
 
     def write_results(self, run_path: str, odom_poses: np.ndarray,
                       slam_poses: Optional[np.ndarray] = None,
-                      timings: Optional[np.ndarray] = None) -> dict:
+                      timings: Optional[np.ndarray] = None,
+                      loop_edges=None) -> dict:
         """Write trajectories (KITTI + TUM), timing table and the pose
         evaluation CSV (reference: dataset/slam_dataset.py:681-858).
         Returns the metric dict (empty without gt)."""
@@ -193,12 +194,20 @@ class SLAMDataset:
             except Exception:
                 pass
         try:
-            from pin_slam_tpu.utils.plots import plot_trajectories
+            from pin_slam_tpu.utils.plots import (plot_loops,
+                                                  plot_trajectories)
+            gtp = self.gt_poses if self.gt_pose_provided else None
+            extra = ({"odometry": odom_poses}
+                     if slam_poses is not None else None)
             plot_trajectories(
-                os.path.join(run_path, "traj_plot_2d.png"), final,
-                self.gt_poses if self.gt_pose_provided else None,
-                extra={"odometry": odom_poses}
-                if slam_poses is not None else None)
+                os.path.join(run_path, "traj_plot_2d.png"), final, gtp,
+                extra=extra)
+            plot_trajectories(
+                os.path.join(run_path, "traj_plot_3d.png"), final, gtp,
+                extra=extra, plot_3d=True)
+            if loop_edges is not None and len(loop_edges) > 0:
+                plot_loops(os.path.join(run_path, "loop_plot.png"),
+                           final, loop_edges)
         except Exception:
             pass
 
@@ -208,9 +217,10 @@ class SLAMDataset:
             ate, are = absolute_error(self.gt_poses[:n], final[:n],
                                       self.config.eval_traj_align)
             drift_t, drift_r = relative_error(self.gt_poses[:n], final[:n])
+            # relative_error already returns deg/100m — no extra scaling
             metrics = {
                 "Average Translation Error [%]": drift_t,
-                "Average Rotational Error [deg/100m]": drift_r * 100.0,
+                "Average Rotational Error [deg/100m]": drift_r,
                 "Absoulte Trajectory Error [m]": ate,
                 "Absoulte Rotational Error [deg]": are,
             }

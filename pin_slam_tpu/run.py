@@ -222,7 +222,9 @@ def run_pin_slam(
     odom = system.odom_poses[:n]
     slam = system.pgo_poses[:n] if config.pgo_on else None
     metrics = dataset.write_results(
-        run_path, odom, slam, np.asarray(system.timings))
+        run_path, odom, slam, np.asarray(system.timings),
+        loop_edges=(loop_mgr.pgm.loop_edges
+                    if loop_mgr is not None else None))
 
     if visualizer is not None:
         visualizer.finalize(system, n, dataset.gt_poses

@@ -40,6 +40,10 @@ def main():
     p.add_argument("--no-mid-ts", action="store_true",
                    help="window by creation ts only (sharper map under "
                    "residual drift, but geometry ages out while in view)")
+    p.add_argument("--color", action="store_true",
+                   help="RGB-D-style colored gauntlet: procedural color "
+                   "ground truth, photometric tracking term, color-decoder "
+                   "training; reports mean color error at GT surface")
     p.add_argument("--semantic", action="store_true",
                    help="semantic mapping-mode: per-point class labels "
                    "from the labeled scene; reports class accuracy/IoU "
@@ -119,6 +123,11 @@ def main():
     # course re-observes the same walls every lap, and windowing by
     # creation ts alone would age out geometry that is still in view
     cfg.use_mid_ts = not a.no_mid_ts
+    if a.color:
+        cfg.color_on = True
+        cfg.color_map_on = True
+        cfg.color_channel = 3
+        cfg.photometric_loss_on = True
     label_fn = None
     if a.semantic:
         from pin_slam_tpu.dataset.synthetic import default_scene_semantic
@@ -129,11 +138,13 @@ def main():
     else:
         scene = default_scene(half_extent=(22.0, 16.0, 4.0))
 
+    from pin_slam_tpu.dataset.synthetic import procedural_color
     seq = SyntheticSequence(
         scene_sdf=scene,
         poses=circle_trajectory(a.frames, radius=8.0,
                                 revolutions=a.laps, ease_in_frames=6),
-        dirs=lidar_directions(512, 32), max_range=60.0)
+        dirs=lidar_directions(512, 32), max_range=60.0,
+        color_fn=procedural_color if a.color else None)
 
     system = PinSLAMSystem(cfg)
     if a.localize:
@@ -255,7 +266,9 @@ def main():
         0.5 * (np.minimum(d_prec, 0.5).mean()
                + np.minimum(d_rec, 0.5).mean()))
 
-    if a.semantic and a.out == "eval/gauntlet_results.json":
+    if a.color and a.out == "eval/gauntlet_results.json":
+        a.out = "eval/gauntlet_color_results.json"
+    elif a.semantic and a.out == "eval/gauntlet_results.json":
         a.out = "eval/gauntlet_semantic_results.json"
     elif a.gt_poses and a.out == "eval/gauntlet_results.json":
         a.out = "eval/gauntlet_mapping_results.json"
@@ -285,10 +298,46 @@ def main():
         "map_points": int(system.state.count),
         "mesh_vertices": int(v.shape[0]),
     }
+    if a.color:
+        # predicted color at GT surface points vs the procedural GT color;
+        # the map lives in the anchor frame — map_probe = inv(A0) @ world
+        from pin_slam_tpu.slam import map_query as mq
+        probe_w = gt[perm][:100_000]
+        probe = ((probe_w - A0[:3, 3]) @ A0[:3, :3]).astype(np.float32)
+        pc = np.zeros((len(probe), 3), np.float32)
+        nnv = np.zeros(len(probe), np.int32)
+        bq = 1 << 14
+        cqf = jax.jit(lambda q: (
+            mq.query_decode(
+                system.state, system.params["geo_features"],
+                system.params["geo_mlp"], q, system.qp,
+                color_features=system.params["color_features"],
+                color_mlp=system.params["color_mlp"],
+                color_channel=3).color,
+            mq.query_decode(
+                system.state, system.params["geo_features"],
+                system.params["geo_mlp"], q, system.qp).nn_count))
+        for b0 in range(0, len(probe), bq):
+            blk = np.zeros((bq, 3), np.float32)
+            nblk = min(bq, len(probe) - b0)
+            blk[:nblk] = probe[b0: b0 + nblk]
+            cd, nc = cqf(jnp.asarray(blk))
+            pc[b0: b0 + nblk] = np.asarray(cd)[:nblk]
+            nnv[b0: b0 + nblk] = np.asarray(nc)[:nblk]
+        gt_c = procedural_color(probe_w.astype(np.float64)).astype(np.float32)
+        vmask = nnv >= 6
+        err = np.abs(pc[vmask] - gt_c[vmask])
+        results["color"] = {
+            "mean_abs_error": float(err.mean()),
+            "p90_abs_error": float(np.percentile(err, 90)),
+            "coverage": float(vmask.mean()),
+        }
     if a.semantic:
         # predicted class at GT surface points vs the geometric GT label
+        # (semantic mode is world-anchored, A0 = I, but stay general)
         from pin_slam_tpu.slam import map_query as mq
-        probe = gt[perm][:100_000].astype(np.float32)
+        probe_w = gt[perm][:100_000]
+        probe = ((probe_w - A0[:3, 3]) @ A0[:3, :3]).astype(np.float32)
         pr = np.zeros(len(probe), np.int32)
         nnv = np.zeros(len(probe), np.int32)
         bq = 1 << 14
@@ -307,7 +356,7 @@ def main():
             pd, nc = qf(jnp.asarray(blk))
             pr[b0: b0 + nblk] = np.asarray(pd)[:nblk]
             nnv[b0: b0 + nblk] = np.asarray(nc)[:nblk]
-        gt_lab = label_fn(probe.astype(np.float64))
+        gt_lab = label_fn(probe_w.astype(np.float64))
         vmask = nnv >= 6
         acc = float((pr[vmask] == gt_lab[vmask]).mean())
         ious = {}

@@ -115,7 +115,10 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         w = w_grad * w_res
 
         int_pred = int_grad = None
-        if use_color:
+        # color terms need the color args: calls that omit them (loop-
+        # closure registration passes geometry only) trace the pure
+        # geometric program even when color_mode > 0
+        if use_color and color_mlp is not None:
             # predicted intensity + its spatial gradient
             def int_fn(p):
                 o = mq.query_decode(
@@ -146,7 +149,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         H = Jw.T @ J                                       # [6, 6]
         g = -(Jw.T @ residual)                             # [6]
 
-        if use_color and tp.color_mode == 2:
+        if use_color and tp.color_mode == 2 and int_pred is not None:
             # photometric term (reference: implicit_color_reg,
             # utils/tracker.py:699-744)
             res_c = int_pred - src_intensity

@@ -186,3 +186,29 @@ def test_init_guess_motion_models():
     # default is the stable damped model
     from pin_slam_tpu.config import Config
     assert Config().motion_model == "damped"
+
+
+def test_color_tracker_geometric_call(trained_scene):
+    """A tracker built with color_mode>0 must also serve geometry-only
+    calls (the loop-closure registration passes no color args) — this
+    crashed with 'NoneType not subscriptable' at the first closure of a
+    colored SLAM run."""
+    w = trained_scene
+    tp = tk.TrackerParams(
+        reg_iter_n=40, max_sdf_std=0.25, max_valid_residual_cm=15.0,
+        weighted_first=True, mask_min_nn_count=6,
+        color_mode=2, color_channel=3)
+    track = jax.jit(tk.make_tracker(w["qp"], tp))
+    pts1 = w["seq"].frame(1)
+    cap = 2048
+    sel = np.random.RandomState(1).permutation(len(pts1))[:cap]
+    src = np.zeros((cap, 3), np.float32)
+    src[: len(sel)] = pts1[sel]
+    src_mask = jnp.arange(cap) < len(sel)
+    T1 = w["seq"].poses[1].copy()
+    T1[:3, 3] += np.array([0.05, -0.03, 0.02])
+    res = track(w["state"], w["params"]["geo_features"],
+                w["params"]["geo_mlp"], src, src_mask,
+                jnp.asarray(T1, jnp.float32), w["lf"],
+                jnp.zeros(3, jnp.float32))
+    assert bool(res.valid)

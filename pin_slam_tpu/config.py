@@ -321,6 +321,11 @@ class Config:
     local_set_cap: int = 1 << 17
     # bucket rounding for padded host->device transfers
     pad_bucket: int = 1 << 12
+    # multi-chip data parallelism: shard mapping training (per-device
+    # batches, ICI gradient all-reduce) and mesher SDF-grid queries over a
+    # jax.sharding.Mesh of dp_devices chips (0 = all visible devices)
+    dp_on: bool = False
+    dp_devices: int = 0
 
     # derived (filled by finalize())
     infer_bs_final: int = 131072
@@ -597,5 +602,7 @@ class Config:
             self.probe_mode = tp.get("probe_mode", self.probe_mode)
             self.local_set_cap = int(tp.get("local_set_cap",
                                             self.local_set_cap))
+            self.dp_on = tp.get("dp_on", self.dp_on)
+            self.dp_devices = int(tp.get("dp_devices", self.dp_devices))
 
         return self.finalize()

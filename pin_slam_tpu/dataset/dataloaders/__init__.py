@@ -5,9 +5,9 @@ Rebuilds the reference's kiss-icp-derived loader collection
 Every loader yields per-frame dicts {"points": [N,3(+c)] float64,
 "point_ts": [N] or None} and optionally exposes `gt_poses`.
 
-rosbag (ROS1 bags) and mcap run on in-repo pure-Python readers
-(dataset/rosbag1.py, dataset/mcap1.py); only the ouster loader (raw
-pcap packets need ouster-sdk) raises an informative ImportError.
+rosbag (ROS1 bags), mcap and ouster (pcap) run on in-repo pure-Python
+readers (dataset/rosbag1.py, dataset/mcap1.py, dataloaders/ouster.py) —
+no rosbags/mcap/ouster-sdk dependencies.
 """
 
 from __future__ import annotations
@@ -84,9 +84,8 @@ def dataset_factory(dataloader: str, data_dir, *args, **kwargs):
         from pin_slam_tpu.dataset.dataloaders.mcap import McapDataloader
         return McapDataloader(data_dir, *args, **kwargs)
     if dl == "ouster":
-        raise ImportError(
-            "the 'ouster' loader needs the 'ouster-sdk' package, which is "
-            "not available in this environment")
+        from pin_slam_tpu.dataset.dataloaders.ouster import OusterDataloader
+        return OusterDataloader(data_dir, *args, **kwargs)
     if dl == "nuscenes":
         from pin_slam_tpu.dataset.dataloaders.nuscenes import NuScenesDataset
         return NuScenesDataset(data_dir, *args, **kwargs)

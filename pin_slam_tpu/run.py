@@ -133,7 +133,8 @@ def run_pin_slam(
                        mesh_min_nn=config.mesh_min_nn,
                        skip_top_voxel=config.skip_top_voxel,
                        min_cluster_vertices=0,
-                       infer_bs=config.infer_bs_final))
+                       infer_bs=config.infer_bs_final),
+            mesh=system.mesh)
 
     metrics_logger = None
     if config.wandb_vis_on or log_on:
@@ -282,7 +283,8 @@ def run_pin_slam(
                 infer_bs=config.infer_bs_final,
                 chunk_m=out_res * 200),
             color_channel=config.color_channel,
-            semantic_on=config.semantic_on)
+            semantic_on=config.semantic_on,
+            mesh=system.mesh)
         verts, faces = mesher.recon_map_mesh(
             system.state, system.params["geo_features"],
             system.params["geo_mlp"])

@@ -481,12 +481,35 @@ def make_train_loop(
     bs_new: int,
     train_decoder: bool,
     loss_kwargs: dict,
+    mesh=None,
+    dp_axis: str = "dp",
 ):
     """Whole per-frame training run (`n_iters` mapping iterations) as ONE
     jitted lax.scan program — a single device dispatch per frame instead of
-    one per iteration (key for TPU dispatch-latency hiding)."""
+    one per iteration (key for TPU dispatch-latency hiding).
+
+    With `mesh`, the same program runs DATA-PARALLEL over the mesh's
+    `dp_axis`: every device draws its OWN `bs`-sized batch (the iteration
+    key is folded with the device index), per-device gradients are averaged
+    with an ICI all-reduce (`lax.pmean`) and the Adam update is computed
+    identically on every device, so params/map state stay replicated.
+    Effective batch per iteration = n_devices * bs. Certainty/ts side
+    effects are psum/pmax-reduced so the replicated map state sees every
+    device's contributions. The reference has no multi-GPU path (SURVEY
+    §2.2); this is the TPU-native scaling axis."""
 
     frozen = {"geo_mlp", "color_mlp", "sem_mlp"}
+    dp_on = mesh is not None
+
+    def dp_key(key):
+        if not dp_on:
+            return key
+        return jax.random.fold_in(key, jax.lax.axis_index(dp_axis))
+
+    def dp_mean(tree):
+        if not dp_on:
+            return tree
+        return jax.lax.pmean(tree, dp_axis)
 
     def freeze(grads):
         if train_decoder:
@@ -494,17 +517,52 @@ def make_train_loop(
         return {k: (jax.tree.map(jnp.zeros_like, v) if k in frozen else v)
                 for k, v in grads.items()}
 
+    def cert_update_global(state, aux):
+        if not dp_on:
+            return apply_certainty_update(state, aux)
+        # delta form so the contributions of all devices' batches can be
+        # psum/pmax-reduced before touching the replicated state
+        C = state.capacity
+        qn, w, ts = aux["qn"], aux["w"], aux["ts"]
+        idx = jnp.where(qn.valid, qn.idx, C).reshape(-1)
+        delta = jnp.zeros_like(state.certainty).at[idx].add(
+            jnp.where(qn.valid, w, 0.0).reshape(-1)).at[C].set(0.0)
+        tsb = jnp.broadcast_to(ts[:, None], qn.idx.shape).reshape(-1)
+        tsm = jnp.zeros_like(state.ts_update).at[idx].max(
+            jnp.where(qn.valid.reshape(-1), tsb, 0)).at[C].set(0)
+        delta = jax.lax.psum(delta, dp_axis)
+        tsm = jax.lax.pmax(tsm, dp_axis)
+        return state.replace(
+            certainty=(state.certainty + delta).at[C].set(0.0),
+            ts_update=jnp.maximum(state.ts_update, tsm).at[C].set(0))
+
+    def cert_update_local(cert, ts_upd, aux, cap):
+        if not dp_on:
+            return accumulate_certainty_local(cert, ts_upd, aux, cap)
+        qn, w, ts = aux["qn"], aux["w"], aux["ts"]
+        idx = jnp.where(qn.valid, qn.idx, cap).reshape(-1)
+        delta = jnp.zeros_like(cert).at[idx].add(
+            jnp.where(qn.valid, w, 0.0).reshape(-1)).at[cap].set(0.0)
+        tsb = jnp.broadcast_to(ts[:, None], qn.idx.shape).reshape(-1)
+        tsm = jnp.zeros_like(ts_upd).at[idx].max(
+            jnp.where(qn.valid.reshape(-1), tsb, 0)).at[cap].set(0)
+        delta = jax.lax.psum(delta, dp_axis)
+        tsm = jax.lax.pmax(tsm, dp_axis)
+        return ((cert + delta).at[cap].set(0.0),
+                jnp.maximum(ts_upd, tsm).at[cap].set(0))
+
     def one(carry, key):
         params, opt_state, state, pool, lf, use_new, lset = carry
         kb, kc = jax.random.split(key)
-        bidx = draw_batch_indices(kb, pool, bs, bs_new, use_new)
+        bidx = draw_batch_indices(dp_key(kb), pool, bs, bs_new, use_new)
         (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
-            params, state, pool, bidx, qp, lf, key=kc, lset=lset,
+            params, state, pool, bidx, qp, lf, key=dp_key(kc), lset=lset,
             **loss_kwargs)
         grads = freeze(grads)
+        loss, grads = dp_mean((loss, grads))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
-        state = apply_certainty_update(state, aux)
+        state = cert_update_global(state, aux)
         return (params, opt_state, state, pool, lf, use_new, lset), loss
 
     def one_local(carry, key):
@@ -512,16 +570,16 @@ def make_train_loop(
         [L+1]-row arrays; no [C]-sized scatter anywhere in the loop."""
         params, opt_state, cert, ts_upd, pool, lf, use_new, lset = carry
         kb, kc = jax.random.split(key)
-        bidx = draw_batch_indices(kb, pool, bs, bs_new, use_new)
+        bidx = draw_batch_indices(dp_key(kb), pool, bs, bs_new, use_new)
         lset_c = lset._replace(cert=cert)
         (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
-            params, None, pool, bidx, qp, lf, key=kc, lset=lset_c,
+            params, None, pool, bidx, qp, lf, key=dp_key(kc), lset=lset_c,
             **loss_kwargs)
         grads = freeze(grads)
+        loss, grads = dp_mean((loss, grads))
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
-        cert, ts_upd = accumulate_certainty_local(
-            cert, ts_upd, aux, lset.cap)
+        cert, ts_upd = cert_update_local(cert, ts_upd, aux, lset.cap)
         return (params, opt_state, cert, ts_upd, pool, lf, use_new,
                 lset), loss
 
@@ -568,6 +626,26 @@ def make_train_loop(
             ts_update=state.ts_update.at[gidx].set(ts_l).at[C].set(0),
         )
         return new_params, opt_state, new_state, keys[0], losses
+
+    if dp_on:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        # everything is replicated (P()) in and out: each device holds the
+        # full params/map/pool, draws its own batch (dp_key), and the
+        # pmean/psum reductions above keep the replicas bit-identical
+        inner = shard_map(
+            loop, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False)
+
+        def dp_loop(params, opt_state, state, pool, key, lf, use_new,
+                    lset=None):
+            return inner(params, opt_state, state, pool, key, lf, use_new,
+                         lset)
+
+        return jax.jit(dp_loop)
 
     # NOTE: donation deferred to the perf pass — params["geo_features"] can
     # alias state.geo_features across the call boundary.

@@ -41,17 +41,32 @@ class MeshConfig:
 
 class Mesher:
     def __init__(self, qp: mq.QueryParams, mc: MeshConfig,
-                 color_channel: int = 0, semantic_on: bool = False):
+                 color_channel: int = 0, semantic_on: bool = False,
+                 mesh=None):
         self.qp = qp
         self.mc = mc
         self.color_channel = color_channel
         self.semantic_on = semantic_on
+        self.mesh = mesh  # optional jax.sharding.Mesh: shard grid queries
 
         def query_batch(state, geo_features, geo_mlp, pts):
             out = mq.query_decode(state, geo_features, geo_mlp, pts, qp)
             return out.sdf, out.nn_count
 
-        self._query_batch = jax.jit(query_batch)
+        if mesh is not None:
+            # dense grid batches are embarrassingly parallel: shard the
+            # query batch over the mesh, replicate map + decoder; XLA
+            # partitions the gather+MLP pipeline with no collectives on
+            # the forward path (SURVEY §2.2 stretch goal (a))
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(mesh, P())
+            shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+            self._query_batch = jax.jit(
+                query_batch,
+                in_shardings=(repl, repl, repl, shard),
+                out_shardings=(shard, shard))
+        else:
+            self._query_batch = jax.jit(query_batch)
 
     # ---------------------------------------------------------------- query
 

@@ -104,6 +104,15 @@ class PinSLAMSystem:
         self.qp = mq.make_query_params(c)
         self.after_pgo = False
 
+        # multi-chip data parallelism (config `tpu: dp_on`): mapping
+        # training runs per-device batches with an ICI gradient all-reduce
+        # (mapper.make_train_loop(mesh=...)); the mesher shards its dense
+        # SDF-grid queries over the same mesh
+        self.mesh = None
+        if c.dp_on and len(jax.devices()) > 1:
+            from pin_slam_tpu.parallel import dp
+            self.mesh = dp.make_mesh(c.dp_devices or None)
+
         # ------------------------------------------------ device state
         self.state = npm.init_map_state(
             c.map_capacity, c.buffer_size, c.feature_dim, c.color_on)
@@ -198,15 +207,6 @@ class PinSLAMSystem:
             consistency_count=c.consistency_count,
             consistency_range=c.consistency_range,
         )
-        self._train_step = {
-            True: mp.make_train_step(
-                self.qp, self.optimizer, bs=c.bs, bs_new=c.bs_new_sample,
-                train_decoder=True, loss_kwargs=loss_kwargs),
-            False: mp.make_train_step(
-                self.qp, self.optimizer, bs=c.bs, bs_new=c.bs_new_sample,
-                train_decoder=False, loss_kwargs=loss_kwargs),
-        }
-
         tp = tk.TrackerParams(
             reg_iter_n=c.reg_iter_n,
             min_grad_norm=c.reg_min_grad_norm,
@@ -485,7 +485,7 @@ class PinSLAMSystem:
             inner = mp.make_train_loop(
                 self.qp, self.optimizer, n_iters=iters, bs=c.bs,
                 bs_new=c.bs_new_sample, train_decoder=train_decoder,
-                loss_kwargs=self._loss_kwargs)
+                loss_kwargs=self._loss_kwargs, mesh=self.mesh)
             if self._use_join:
                 # fuse the lset build into the same program: one dispatch
                 # for the whole mapping run (jitted callees trace inline)

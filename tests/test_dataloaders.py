@@ -262,3 +262,195 @@ class TestMcap:
         assert len(ds) == 2
         with pytest.raises(ValueError, match="not found"):
             dataset_factory("mcap", path, "/wrong")
+
+
+# --------------------------------------------------------------------- ouster
+
+
+def _write_pcap(path, datagrams, fragment_mtu=None, pcapng=False,
+                dport=7502):
+    """Encode UDP datagrams into a classic pcap (or minimal pcapng) file.
+    With `fragment_mtu`, IPv4-fragment each datagram at that payload size."""
+    import struct
+
+    def eth_ip_udp_frames(payload, ident):
+        udp = struct.pack(">HHHH", 12345, dport, 8 + len(payload), 0) \
+            + payload
+        if fragment_mtu is None or len(udp) <= fragment_mtu:
+            chunks = [(0, udp, False)]
+        else:
+            chunks = []
+            off = 0
+            while off < len(udp):
+                n = min(fragment_mtu, len(udp) - off)
+                n = n if off + n >= len(udp) else (n // 8) * 8
+                chunks.append((off, udp[off: off + n],
+                               off + n < len(udp)))
+                off += n
+        frames = []
+        for off, chunk, more in chunks:
+            flags_frag = (0x2000 if more else 0) | (off // 8)
+            ip = struct.pack(">BBHHHBBH4s4s", 0x45, 0, 20 + len(chunk),
+                             ident, flags_frag, 64, 17, 0,
+                             b"\x0a\x00\x00\x01", b"\x0a\x00\x00\x02")
+            frames.append(b"\x02" * 6 + b"\x04" * 6 +
+                          struct.pack(">H", 0x0800) + ip + chunk)
+        return frames
+
+    frames = []
+    for i, payload in enumerate(datagrams):
+        frames.extend(eth_ip_udp_frames(payload, ident=i + 1))
+
+    with open(path, "wb") as f:
+        if not pcapng:
+            f.write(struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0,
+                                1 << 22, 1))
+            for fr in frames:
+                f.write(struct.pack("<IIII", 0, 0, len(fr), len(fr)))
+                f.write(fr)
+        else:
+            shb = struct.pack("<IIIHHq", 0x0A0D0D0A, 28, 0x1A2B3C4D,
+                              1, 0, -1)
+            f.write(shb + struct.pack("<I", 28))
+            idb = struct.pack("<IIHHI", 1, 20, 1, 0, 1 << 22)
+            f.write(idb + struct.pack("<I", 20))
+            for fr in frames:
+                pad = (4 - len(fr) % 4) % 4
+                blen = 32 + len(fr) + pad
+                f.write(struct.pack("<IIIIII", 6, blen, 0, 0, 0,
+                                    len(fr))[:24])
+                f.write(struct.pack("<I", len(fr)))
+                f.write(fr + b"\x00" * pad)
+                f.write(struct.pack("<I", blen))
+
+
+class TestOuster:
+    H, W, CPP = 16, 64, 16
+
+    def _ranges(self, seed=0):
+        rng = np.random.RandomState(seed)
+        # mm-exact ranges 5..25 m
+        return np.round(
+            (5.0 + 20.0 * rng.rand(self.H, self.W)) * 1000.0) / 1000.0
+
+    def _metadata(self, tmp_path, profile):
+        alt = np.linspace(15.0, -15.0, self.H)
+        az = np.linspace(-1.5, 1.5, self.H)
+        if profile == "LEGACY":
+            meta = {
+                "beam_altitude_angles": alt.tolist(),
+                "beam_azimuth_angles": az.tolist(),
+                "lidar_origin_to_beam_origin_mm": 0.0,
+                "lidar_to_sensor_transform":
+                    np.eye(4).reshape(-1).tolist(),
+                "data_format": {
+                    "pixels_per_column": self.H,
+                    "columns_per_frame": self.W,
+                    "columns_per_packet": self.CPP,
+                    "udp_profile_lidar": "LEGACY",
+                },
+                "udp_port_lidar": 7502,
+            }
+        else:
+            meta = {
+                "beam_intrinsics": {
+                    "beam_altitude_angles": alt.tolist(),
+                    "beam_azimuth_angles": az.tolist(),
+                    "lidar_origin_to_beam_origin_mm": 0.0,
+                },
+                "lidar_intrinsics": {
+                    "lidar_to_sensor_transform":
+                        np.eye(4).reshape(-1).tolist()},
+                "lidar_data_format": {
+                    "pixels_per_column": self.H,
+                    "columns_per_frame": self.W,
+                    "columns_per_packet": self.CPP,
+                    "udp_profile_lidar": "RNG19_RFL8_SIG16_NIR16",
+                },
+                "config_params": {"udp_port_lidar": 7502},
+            }
+        p = str(tmp_path / "rec.json")
+        with open(p, "w") as fp:
+            json.dump(meta, fp)
+        return p
+
+    def _encode_frames(self, ranges_per_frame, profile):
+        import struct
+        pkts = []
+        for fid, ranges in enumerate(ranges_per_frame, start=1):
+            mm = np.round(ranges * 1000.0).astype(np.uint32)
+            for p0 in range(0, self.W, self.CPP):
+                cols = b""
+                for c in range(p0, p0 + self.CPP):
+                    px = np.zeros((self.H, 3), "<u4")
+                    px[:, 0] = mm[:, c]
+                    if profile == "LEGACY":
+                        cols += struct.pack("<QHHI", 1000 + c, c, fid, 0) \
+                            + px.tobytes() \
+                            + struct.pack("<I", 0xFFFFFFFF)
+                    else:
+                        cols += struct.pack("<QHH", 1000 + c, c, 1) \
+                            + px.tobytes()
+                if profile == "LEGACY":
+                    pkts.append(cols)
+                else:
+                    hdr = struct.pack("<HH", 1, fid) + b"\x00" * 28
+                    pkts.append(hdr + cols)
+        return pkts
+
+    @pytest.mark.parametrize("profile", ["LEGACY", "RNG19"])
+    def test_roundtrip_projection(self, tmp_path, profile):
+        from pin_slam_tpu.dataset.dataloaders.ouster import OusterDataloader
+
+        frames = [self._ranges(0), self._ranges(1)]
+        pcap = str(tmp_path / "rec.pcap")
+        _write_pcap(pcap, self._encode_frames(frames, profile))
+        meta = self._metadata(tmp_path, profile)
+
+        ds = OusterDataloader(pcap, meta=meta)
+        assert len(ds) == 2
+        alt = np.linspace(15.0, -15.0, self.H)
+        for k in range(2):
+            fd = ds[k]
+            pts, ts = fd["points"], fd["point_ts"]
+            assert pts.shape == (self.H * self.W, 3)
+            # identity lidar_to_sensor + n=0: |p| == encoded range (mm exact)
+            r = np.linalg.norm(pts, axis=1).reshape(self.H, self.W)
+            np.testing.assert_allclose(r, frames[k], atol=2e-3)
+            # altitude angle rows: z = r*sin(phi)
+            z = pts[:, 2].reshape(self.H, self.W)
+            np.testing.assert_allclose(
+                z, frames[k] * np.sin(np.radians(alt))[:, None], atol=5e-3)
+            assert ts.min() >= 0.0 and ts.max() < 1.0
+
+    def test_fragmented_and_pcapng(self, tmp_path):
+        from pin_slam_tpu.dataset.dataloaders.ouster import OusterDataloader
+
+        frames = [self._ranges(2)]
+        pkts = self._encode_frames(frames, "LEGACY")
+        meta = self._metadata(tmp_path, "LEGACY")
+
+        frag = str(tmp_path / "frag.pcap")
+        _write_pcap(frag, pkts, fragment_mtu=1400)
+        ds = OusterDataloader(frag, meta=meta)
+        assert len(ds) == 1
+        r = np.linalg.norm(ds[0]["points"], axis=1).reshape(self.H, self.W)
+        np.testing.assert_allclose(r, frames[0], atol=2e-3)
+
+        ng = str(tmp_path / "rec.pcapng")
+        _write_pcap(ng, pkts, pcapng=True)
+        ds2 = OusterDataloader(ng, meta=meta)
+        assert len(ds2) == 1
+        r2 = np.linalg.norm(ds2[0]["points"], axis=1).reshape(self.H, self.W)
+        np.testing.assert_allclose(r2, frames[0], atol=2e-3)
+
+    def test_factory_and_meta_discovery(self, tmp_path):
+        from pin_slam_tpu.dataset.dataloaders import dataset_factory
+
+        frames = [self._ranges(3)]
+        pcap = str(tmp_path / "rec.pcap")
+        _write_pcap(pcap, self._encode_frames(frames, "LEGACY"))
+        self._metadata(tmp_path, "LEGACY")  # rec.json next to rec.pcap
+        ds = dataset_factory("ouster", pcap)
+        assert len(ds) == 1
+        assert ds.get_frames_timestamps().shape == (1,)

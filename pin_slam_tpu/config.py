@@ -270,6 +270,9 @@ class Config:
     wandb_vis_on: bool = False
     silence: bool = True
     o3d_vis_on: bool = False
+    # viewer backend: 'auto' (Open3D window when available, else headless
+    # PNG), 'o3d', or 'png'
+    gui_backend: str = "auto"
     log_freq_frame: int = 2000
     mesh_default_on: bool = False
     mesh_freq_frame: int = 20
@@ -572,6 +575,7 @@ class Config:
             self.wandb_vis_on = e.get("wandb_vis_on", self.wandb_vis_on)
             self.silence = e.get("silence_log", self.silence)
             self.o3d_vis_on = e.get("o3d_vis_on", self.o3d_vis_on)
+            self.gui_backend = e.get("gui_backend", self.gui_backend)
             self.sensor_cad_path = e.get("sensor_cad_path", None)
             self.log_freq_frame = e.get("log_freq_frame", self.log_freq_frame)
             self.mesh_freq_frame = e.get("mesh_freq_frame", self.mesh_freq_frame)

@@ -121,7 +121,23 @@ def _read_control_file(path: str, last_mtime: float):
 def viewer_main(params: ParamsGUI):
     """Viewer process entry (reference: gui/slam_gui.py:50 run loop).
     Consumes VisPackets latest-wins, renders, forwards control-file
-    changes, exits on a packet with finish=True."""
+    changes, exits on a packet with finish=True.
+
+    Backend selection: with ``params.backend`` 'auto' (default) the
+    interactive Open3D window (gui/o3d_gui.py; reference
+    gui/slam_gui.py:50-1337) is used when open3d + a display are present;
+    otherwise — and always in this repo's headless CI — the PNG renderer
+    below. 'o3d' forces the window, 'png' forces the headless path. The
+    queue protocol with the main process is identical either way."""
+    backend = getattr(params, "backend", "auto")
+    if backend in ("auto", "o3d"):
+        from pin_slam_tpu.gui import o3d_gui
+        if backend == "o3d" or o3d_gui.available():
+            try:
+                return o3d_gui.run_viewer(params)
+            except Exception as e:
+                print(f"[viewer] open3d backend failed ({e}); "
+                      "falling back to PNG rendering")
     gui_dir = os.path.join(params.run_path, "gui")
     os.makedirs(gui_dir, exist_ok=True)
     ctrl_path = os.path.join(gui_dir, "control.yaml")
@@ -150,16 +166,19 @@ def viewer_main(params: ParamsGUI):
                 params.q_vis2main.put(cp)
 
 
-def start_viewer(run_path: str, render_every: int = 1):
+def start_viewer(run_path: str, render_every: int = 1,
+                 backend: str = "auto"):
     """Spawn the viewer process (reference: pin_slam.py:200-217).
     Returns (process, q_main2vis, q_vis2main). Uses the spawn context so
-    the child never inherits jax/TPU state."""
+    the child never inherits jax/TPU state. `backend`: 'auto'|'o3d'|'png'
+    (see viewer_main)."""
     import multiprocessing as mp
     ctx = mp.get_context("spawn")
     q_main2vis = ctx.Queue()
     q_vis2main = ctx.Queue()
     params = ParamsGUI(q_main2vis=q_main2vis, q_vis2main=q_vis2main,
                        run_path=run_path, render_every=render_every)
+    params.backend = backend
     proc = ctx.Process(target=viewer_main, args=(params,), daemon=True)
     proc.start()
     return proc, q_main2vis, q_vis2main

@@ -147,7 +147,8 @@ def run_pin_slam(
     vis_state = {}
     if config.o3d_vis_on:
         from pin_slam_tpu.gui import start_viewer
-        viewer, q_main2vis, q_vis2main = start_viewer(run_path)
+        viewer, q_main2vis, q_vis2main = start_viewer(
+            run_path, backend=getattr(config, "gui_backend", "auto"))
 
     t_start = time.time()
     for frame_id in range(dataset.total_pc_count):

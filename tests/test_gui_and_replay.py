@@ -175,3 +175,40 @@ def test_gt_loop_manager_detects_revisit():
     mgr2 = GTLoopManager()
     mgr2.add_node(0, gt[0])
     assert mgr2.detect_loop() == (None, None, None)
+
+
+class TestO3DBackend:
+    def test_available_is_false_headless(self):
+        """No open3d / no display in this env: the backend must report
+        unavailable so viewer_main picks the PNG renderer."""
+        from pin_slam_tpu.gui import o3d_gui
+        assert o3d_gui.available() is False
+
+    def test_viewer_main_auto_falls_back_to_png(self, tmp_path):
+        """backend='auto' without open3d must run the PNG loop end-to-end."""
+        import queue as q
+
+        from pin_slam_tpu.gui.gui_utils import ParamsGUI, VisPacket
+        from pin_slam_tpu.gui.slam_viewer import viewer_main
+
+        import threading
+        import time
+
+        q_m2v, q_v2m = q.Queue(), q.Queue()
+        pkt = VisPacket(frame_id=0,
+                        current_pointcloud_xyz=np.random.rand(50, 3))
+        q_m2v.put(pkt)
+        params = ParamsGUI(q_main2vis=q_m2v, q_vis2main=q_v2m,
+                           run_path=str(tmp_path))
+        params.backend = "auto"
+        th = threading.Thread(target=viewer_main, args=(params,))
+        th.start()
+        png = tmp_path / "gui" / "view_000000.png"
+        for _ in range(200):  # wait for the render (latest-wins: the
+            if png.exists():  # finish packet must come after it)
+                break
+            time.sleep(0.05)
+        q_m2v.put(VisPacket(finish=True))
+        th.join(timeout=10)
+        assert not th.is_alive()
+        assert png.exists()

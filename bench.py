@@ -55,7 +55,9 @@ def main():
     # warmup must cover every cadence program's first hit (pool filter at
     # frame 4, prune+rehash at frame 9): their cold compiles through the
     # tunnel would otherwise land inside the measured window
-    n_frames = int(os.environ.get("BENCH_FRAMES", 20))
+    # >= 3 pool-filter periods (freq 10) inside the measured window so
+    # cadence programs are averaged, not sampled once
+    n_frames = int(os.environ.get("BENCH_FRAMES", 40))
     warmup = 10
     frames, poses = build_frames(
         n_frames, n_az=900, n_el=56,
@@ -82,7 +84,10 @@ def main():
     cfg.reg_iter_n = 100
     cfg.map_capacity = 1 << 20
     cfg.buffer_size = 1 << 23
-    cfg.frame_point_cap = 1 << 16
+    # static capacities sized to the workload (train cloud ~31k pts after
+    # the 8 cm voxel downsample, source ~7k): capacity slack is pure
+    # padding work on a static-shape machine
+    cfg.frame_point_cap = 1 << 15
     cfg.source_point_cap = 1 << 13
     cfg.max_frames = 256
     cfg.finalize()

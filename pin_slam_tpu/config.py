@@ -265,6 +265,13 @@ class Config:
     pgo_error_thre_frame: float = 500.0
     pgo_merge_map: bool = False
     rehash_with_time: bool = True
+    # extra mapping iterations on the frame of an accepted loop closure:
+    # the elastic deformation moves map points + transforms the pool, and
+    # this boost re-converges the SDF around the corrected geometry (the
+    # reference relies on continued online training for the same effect,
+    # utils/mapper.py:600-844; a bounded one-frame boost is the explicit
+    # equivalent)
+    post_loop_iter_boost: int = 15
 
     # --------------------------------------------------------------------- eval
     wandb_vis_on: bool = False
@@ -548,6 +555,8 @@ class Config:
                 "context_cosdist", self.context_cosdist_threshold)
             self.min_loop_travel_dist_ratio = g.get(
                 "min_loop_travel_ratio", self.min_loop_travel_dist_ratio)
+            self.post_loop_iter_boost = int(g.get(
+                "post_loop_iter_boost", self.post_loop_iter_boost))
             self.loop_dist_drift_ratio_thre = g.get(
                 "max_loop_dist_ratio", self.loop_dist_drift_ratio_thre)
             self.local_loop_dist_thre = g.get(

@@ -223,6 +223,14 @@ class LoopPgoManager:
         sysm.state = self._rehash(sysm.state, jnp.int32(frame_id))
         sysm.pool = self._transform_pool(sysm.pool, diffs)
         sysm.params["geo_features"] = sysm.state.geo_features
+        # the deformation moved map points: the cached post-train local
+        # set (tracker reuse) is stale until the next training run
+        sysm._cur_lset = None
+        # schedule the post-closure training boost (config
+        # post_loop_iter_boost): re-sharpen the SDF around the deformed
+        # region with the now-consistent transformed pool
+        sysm.post_loop_iter_boost_pending = max(
+            sysm.post_loop_iter_boost_pending, c.post_loop_iter_boost)
 
         n = frame_id + 1
         sysm.pgo_poses[:n] = self.pgm.pgo_poses[:n]

@@ -131,6 +131,34 @@ def _maybe_layer_norm(x, on: bool):
     return (x - mu) * jax.lax.rsqrt(var + 1e-5)
 
 
+def rerank_candidates(
+    lset,
+    q_abs: jnp.ndarray,          # [N, 3] absolute world
+    cand: jnp.ndarray,           # [N, K] local candidate ids (K >= nn_k)
+    cvalid: jnp.ndarray,         # [N, K]
+    qp: QueryParams,
+) -> npm.QueryNeighbors:
+    """Exact top-nn_k selection from a cached candidate set by true
+    distance with the radius bound — equivalent to a fresh kernel probe
+    when the candidates were produced with K >= nn_k at the same bound and
+    the underlying positions have not moved. O(nn_k * K) argmin rounds on
+    the VPU instead of a tile walk; this is what makes one per-frame probe
+    servable across all training iterations."""
+    K = cand.shape[1]
+    ci = jnp.where(cvalid, cand, lset.cap)
+    pos = lset.pts[ci]                                   # [N, K, 3]
+    d2 = jnp.sum((jax.lax.stop_gradient(q_abs)[:, None, :] - pos) ** 2, -1)
+    use = cvalid & (d2 <= qp.join_max_dist2)
+    d2m = jnp.where(use, d2, npm.BIG_DIST2)
+    nn_count = jnp.sum(use, axis=-1).astype(jnp.int32)
+
+    neg, sel = jax.lax.top_k(-d2m, qp.nn_k)              # [N, nn_k]
+    ok = -neg < npm.BIG_DIST2
+    idx = jnp.where(ok, jnp.take_along_axis(ci, sel, axis=1), lset.cap)
+    return npm.QueryNeighbors(idx=idx.astype(jnp.int32), dist2=-neg,
+                              valid=ok, nn_count=nn_count)
+
+
 def query_decode(
     state: npm.MapState,
     geo_features: jnp.ndarray,       # [C+1, F] (trainable; may differ from state's)
@@ -146,6 +174,7 @@ def query_decode(
     with_std: bool = False,
     color_channel: int = 0,
     lset=None,                       # ops.knn_join.LocalSet (spatial join)
+    cand=None,                       # ([N, K] ids, [N, K] valid) cached
 ) -> QueryOut:
     """Query k-NN neural points and decode SDF (and optionally color /
     semantics) at the query positions. Differentiable w.r.t. qpts,
@@ -157,10 +186,18 @@ def query_decode(
     lset, `geo_features`/`color_features` must be COMPACT [L+1, F] arrays
     aligned with the set rows (dump row last); positions/certainty/
     orientations come from the set itself. All hot gathers then touch
-    [L]-sized arrays instead of the [C]-sized map."""
+    [L]-sized arrays instead of the [C]-sized map.
+
+    With `cand` (+ lset), the kernel probe is skipped entirely: the exact
+    top-nn_k neighbors are re-ranked from the cached candidate set by true
+    distance (identical result when the candidates were probed with
+    K >= nn_k at the same radius bound and the map positions have not
+    moved — the per-frame training loop's case)."""
     q_abs = qpts if anchor is None else qpts + anchor
 
-    if lset is not None:
+    if cand is not None:
+        qn = rerank_candidates(lset, q_abs, cand[0], cand[1], qp)
+    elif lset is not None:
         qn = npm.query_neighbors_join(
             state, q_abs, lset, nn_k=qp.nn_k,
             max_dist2=qp.join_max_dist2,
@@ -400,6 +437,7 @@ def numerical_grad_shared_join(
     eps: float,
     qp: QueryParams,
     cand_k: int = 12,
+    cand=None,                   # optional cached ([M, K] ids, [M, K] valid)
 ):
     """Two-sided numerical SDF gradient sharing ONE k=12 candidate join
     across the six +-eps shifted queries (reference semantics:
@@ -407,15 +445,24 @@ def numerical_grad_shared_join(
     points re-rank the base candidates exactly (top-6 of 12 by true
     distance with the radius bound), so for eps << voxel size the result
     matches the full re-query while costing one join instead of six.
+    With `cand`, even that one join is skipped (the training loop passes
+    the batch's cached per-frame candidates).
 
     Returns grad [M, 3]; differentiable w.r.t. geo_features/geo_mlp."""
     from pin_slam_tpu.models import neural_points as npm_
 
     m = qpts.shape[0]
-    qn = npm_.query_neighbors_join(
-        None, jax.lax.stop_gradient(qpts), lset, nn_k=cand_k,
-        max_dist2=qp.join_max_dist2, resolution=qp.resolution,
-        local_ids=True)
+    if cand is not None:
+        cand_k = cand[0].shape[1]
+        qn = npm_.QueryNeighbors(
+            idx=jnp.where(cand[1], cand[0], lset.cap).astype(jnp.int32),
+            dist2=jnp.zeros(cand[0].shape, jnp.float32),
+            valid=cand[1], nn_count=jnp.sum(cand[1], -1).astype(jnp.int32))
+    else:
+        qn = npm_.query_neighbors_join(
+            None, jax.lax.stop_gradient(qpts), lset, nn_k=cand_k,
+            max_dist2=qp.join_max_dist2, resolution=qp.resolution,
+            local_ids=True)
     pos = lset.pts[qn.idx]                              # [M, 12, 3]
     feats = _maybe_layer_norm(geo_features[qn.idx], qp.layer_norm_on)
 

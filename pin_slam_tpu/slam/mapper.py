@@ -278,6 +278,7 @@ def mapping_loss(
     consistency_range: float = 0.05,
     key: Optional[jax.Array] = None,
     lset=None,
+    cand=None,
 ):
     """One training batch's loss (reference: utils/mapper.py:623-812).
 
@@ -295,7 +296,7 @@ def mapping_loss(
 
     out = mq.query_decode(
         state, params["geo_features"], params["geo_mlp"], coord, qp,
-        lf=lf, lset=lset,
+        lf=lf, lset=lset, cand=cand,
         color_features=params.get("color_features"),
         color_mlp=params.get("color_mlp") if color_on else None,
         sem_mlp=params.get("sem_mlp") if semantic_on else None,
@@ -344,10 +345,14 @@ def mapping_loss(
                 qn_dec, numerical_grad_eps, qp)
         elif lset is not None:
             # one shared k=12 candidate join re-ranked per shift — exact
-            # for eps << voxel (see numerical_grad_shared_join)
+            # for eps << voxel (see numerical_grad_shared_join); with a
+            # cached per-frame candidate set even that join is skipped
             g = mq.numerical_grad_shared_join(
                 lset, params["geo_features"], params["geo_mlp"], dec,
-                numerical_grad_eps, qp)
+                numerical_grad_eps, qp,
+                cand=None if cand is None else (
+                    cand[0][::gradient_decimation],
+                    cand[1][::gradient_decimation]))
         else:
             # full shifted queries (reference semantics,
             # utils/mapper.py:986-1036)
@@ -565,16 +570,19 @@ def make_train_loop(
         state = cert_update_global(state, aux)
         return (params, opt_state, state, pool, lf, use_new, lset), loss
 
-    def one_local(carry, key):
+    def one_local(carry, xs):
         """Local-mode iteration: features/certainty live in compact
-        [L+1]-row arrays; no [C]-sized scatter anywhere in the loop."""
+        [L+1]-row arrays; no [C]-sized scatter anywhere in the loop. The
+        batch indices and their neighbor CANDIDATES were precomputed for
+        all iterations by one batched kernel probe (map positions do not
+        move during the per-frame training run, so candidates stay exact);
+        the iteration only re-ranks them to the true top-k."""
         params, opt_state, cert, ts_upd, pool, lf, use_new, lset = carry
-        kb, kc = jax.random.split(key)
-        bidx = draw_batch_indices(dp_key(kb), pool, bs, bs_new, use_new)
+        kc, bidx, cnd, cnv = xs
         lset_c = lset._replace(cert=cert)
         (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
-            params, None, pool, bidx, qp, lf, key=dp_key(kc), lset=lset_c,
-            **loss_kwargs)
+            params, None, pool, bidx, qp, lf, key=kc, lset=lset_c,
+            cand=(cnd, cnv), **loss_kwargs)
         grads = freeze(grads)
         loss, grads = dp_mean((loss, grads))
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -600,11 +608,33 @@ def make_train_loop(
         if "color_features" in params:
             lparams["color_features"] = params["color_features"][gidx]
         lopt = optimizer.init(lparams)   # fresh per-frame optimizer
+
+        # pre-draw every iteration's batch and probe ALL their neighbor
+        # candidates in ONE kernel call (measured 3-4x cheaper than
+        # n_iters separate probes on v5e); each scan iteration re-ranks
+        # its cached candidates to the exact top-k. The same candidates
+        # serve the eikonal term's six shifted queries.
+        cand_k = max(qp.nn_k, 12)
+
+        def draw(k):
+            kb, kc = jax.random.split(k)
+            return (draw_batch_indices(dp_key(kb), pool, bs, bs_new,
+                                       use_new), dp_key(kc))
+
+        bidxs, kcs = jax.vmap(draw)(keys[1:])            # [n_iters, bs]
+        coords_all = pool.coord[bidxs.idx.reshape(-1)]
+        qn_all = npm.query_neighbors_join(
+            None, coords_all, lset, nn_k=cand_k,
+            max_dist2=qp.join_max_dist2, resolution=qp.resolution,
+            local_ids=True)
+        cand_all = qn_all.idx.reshape(n_iters, bs, cand_k)
+        cvalid_all = qn_all.valid.reshape(n_iters, bs, cand_k)
+
         carry, losses = jax.lax.scan(
             one_local,
             (lparams, lopt, lset.cert, lset.ts_upd, pool, lf, use_new,
              lset),
-            keys[1:])
+            (kcs, bidxs, cand_all, cvalid_all))
         lparams, _, cert_l, ts_l = carry[:4]
 
         new_params = dict(params)

@@ -168,6 +168,12 @@ class PinSLAMSystem:
         self.adaptive_iter_offset = 0
         self.localization_mode = False
         self.last_did_map = False
+        # post-train local set + trained compact features (join mode),
+        # reused as the next frame's tracker search structure
+        self._cur_lset = None
+        self._cur_track_feats = None
+        # extra mapping iterations requested by an accepted loop closure
+        self.post_loop_iter_boost_pending = 0
         # PIN_SYNC_TIMING=1: block after each stage so self.timings
         # attributes device time to the right column (debug/profiling)
         import os as _os
@@ -476,6 +482,26 @@ class PinSLAMSystem:
 
             self._track_chain = jax.jit(track_chain)
 
+            # cached variant: registers against the previous frame's
+            # POST-TRAIN local set + trained compact features returned by
+            # the fused train program (same window the reference's local
+            # map holds after reset_local_map) — no per-frame lset build
+            # or feature gather on the tracking path. The temporal window
+            # filter is baked into the set; the sensor-radius filter is
+            # subsumed by the probe's own radius bound.
+            def track_chain_cached(state, feats, geo_mlp, src_pts, src_n,
+                                   T_init, td, anchor, fid, lset):
+                res = self._track(
+                    state, feats, geo_mlp, src_pts,
+                    jnp.arange(src_pts.shape[0]) < src_n, T_init, None,
+                    anchor, lset=lset)
+                T32, td_new, mapok = select_pose(
+                    res.valid, res.iterations, res.pose, T_init, anchor,
+                    td, fid)
+                return res, T32, td_new, mapok
+
+            self._track_chain_cached = jax.jit(track_chain_cached)
+
     # -------------------------------------------------------------- helpers
 
     def _get_train_loop(self, iters: int, train_decoder: bool):
@@ -488,13 +514,21 @@ class PinSLAMSystem:
                 loss_kwargs=self._loss_kwargs, mesh=self.mesh)
             if self._use_join:
                 # fuse the lset build into the same program: one dispatch
-                # for the whole mapping run (jitted callees trace inline)
+                # for the whole mapping run (jitted callees trace inline).
+                # The program also returns the lset + the TRAINED compact
+                # features: the lset's window (cur_ts = this frame, post-
+                # insert) is exactly the local map the NEXT frame's
+                # tracker registers against (reference reset_local_map
+                # runs after update, model/neural_points.py:424), so the
+                # tracker skips its own 17 ms build+gather.
                 def fused(params, opt_state, state, pool, key, lf,
                           use_new, reboot_ts):
                     ls = self._build_lset_train(
                         state, lf.travel_dist, lf.cur_ts, reboot_ts)
-                    return inner(params, opt_state, state, pool, key,
-                                 lf, use_new, ls)
+                    out = inner(params, opt_state, state, pool, key,
+                                lf, use_new, ls)
+                    feats = out[0]["geo_features"][ls.gidx]
+                    return out + (ls, feats)
                 self._train_loops[k] = jax.jit(fused)
             else:
                 self._train_loops[k] = inner
@@ -590,6 +624,8 @@ class PinSLAMSystem:
             self.params["color_features"] = self.state.color_features
         self.opt_state = self.optimizer.init(self.params)
         self._train_loops = {}
+        self._cur_lset = None          # gidx refers to the old capacity
+        self._cur_track_feats = None
         self._build_jits()
 
     def set_after_pgo(self, on: bool):
@@ -673,14 +709,30 @@ class PinSLAMSystem:
             # dispatches (each separate pull costs a ~35 ms tunnel RTT).
             if self._use_join and not self.localization_mode \
                     and not use_color:
-                # fused chain: lset build + track + select = ONE dispatch
-                res, T32_dev, td_dev, mapok_dev = self._track_chain(
-                    self.state, self.params["geo_features"],
-                    self.params["geo_mlp"], src_pts, src_n,
-                    jnp.asarray(T_init, jnp.float32), lf,
-                    jnp.asarray(anchor, jnp.float32),
-                    jnp.int32(frame_id), jnp.int32(self.reboot_ts),
-                    jnp.asarray(self.last_pose_ref[:3, 3], jnp.float32))
+                if self._cur_lset is not None:
+                    # register against the previous frame's post-train
+                    # local set (no lset build on the tracking path)
+                    res, T32_dev, td_dev, mapok_dev = \
+                        self._track_chain_cached(
+                            self.state, self._cur_track_feats,
+                            self.params["geo_mlp"], src_pts, src_n,
+                            jnp.asarray(T_init, jnp.float32),
+                            jnp.asarray(
+                                self.travel_dist[: self.max_frames],
+                                jnp.float32),
+                            jnp.asarray(anchor, jnp.float32),
+                            jnp.int32(frame_id), self._cur_lset)
+                else:
+                    # fused chain: lset build + track + select = ONE
+                    # dispatch (first frames / post-deform / post-grow)
+                    res, T32_dev, td_dev, mapok_dev = self._track_chain(
+                        self.state, self.params["geo_features"],
+                        self.params["geo_mlp"], src_pts, src_n,
+                        jnp.asarray(T_init, jnp.float32), lf,
+                        jnp.asarray(anchor, jnp.float32),
+                        jnp.int32(frame_id), jnp.int32(self.reboot_ts),
+                        jnp.asarray(self.last_pose_ref[:3, 3],
+                                    jnp.float32))
                 self.last_tracking = res
                 tracked = True
             else:
@@ -863,6 +915,10 @@ class PinSLAMSystem:
             if self.stop_status:
                 cur_iters = max(1, cur_iters - 10)
             cur_iters = max(1, cur_iters + self.adaptive_iter_offset)
+            if self.post_loop_iter_boost_pending:
+                # re-converge the SDF around the just-deformed geometry
+                cur_iters += self.post_loop_iter_boost_pending
+                self.post_loop_iter_boost_pending = 0
 
             if (frame_id - self.reboot_ts) == c.freeze_after_frame:
                 self.decoder_freezed = True
@@ -897,9 +953,14 @@ class PinSLAMSystem:
         loop = self._get_train_loop(iters, not self.decoder_freezed)
         # join mode: the lset build is fused into the loop program
         tail = (jnp.int32(self.reboot_ts) if self._use_join else None)
+        out = loop(self.params, self.opt_state, self.state, self.pool,
+                   self.key, lf, use_new, tail)
         (self.params, self.opt_state, self.state, self.key,
-         losses) = loop(self.params, self.opt_state, self.state, self.pool,
-                        self.key, lf, use_new, tail)
+         losses) = out[:5]
+        if self._use_join:
+            # post-train local map + trained compact features, reused as
+            # the next frame's tracker search structure (see _build_jits)
+            self._cur_lset, self._cur_track_feats = out[5], out[6]
         metrics = {"loss": losses[-1]}
         # write trained features back to the map (assign_local_to_global
         # equivalent; reference model/neural_points.py:515-526)

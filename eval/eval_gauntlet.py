@@ -163,7 +163,8 @@ def main():
     gt_points = []
     t0 = time.time()
     for fid in range(len(seq)):
-        pts = seq.frame(fid)
+        pts_clean = seq.frame(fid)
+        pts = pts_clean
         # range-proportional measurement noise
         if a.noise > 0:
             d = np.linalg.norm(pts[:, :3], axis=1, keepdims=True)
@@ -178,11 +179,13 @@ def main():
                 + seq.poses[fid][:3, 3].astype(np.float32)
             sem = label_fn(w)
         system.process_frame(fid, pts, loop_hook=hook, sem_labels=sem)
-        if fid % 3 == 0:
-            w = np.asarray(transform_points(
-                jnp.asarray(seq.frame(fid)[:, :3]),
-                jnp.asarray(seq.poses[fid], jnp.float32)))
-            gt_points.append(w[:: 3])
+        # accumulate the FULL noise-free scan as GT surface samples: the
+        # sampled mesh protocol (reference eval/eval_mesh_utils.py:8-91)
+        # carries the GT sample spacing as a distance floor, so density
+        # is accuracy — every frame, undecimated (~4M points)
+        w = (pts_clean[:, :3] @ seq.poses[fid][:3, :3].T
+             + seq.poses[fid][:3, 3])
+        gt_points.append(w.astype(np.float32))
         if fid % 20 == 0:
             el = time.time() - t0
             print(f"frame {fid}/{len(seq)} ({el / (fid + 1) * 1e3:.0f} "
@@ -232,17 +235,23 @@ def main():
     v = v @ A0[:3, :3].T + A0[:3, 3]
     gt = np.concatenate(gt_points)
     perm = np.random.RandomState(0).permutation(len(gt))[:300_000]
-    pred = sample_mesh_points(v, f, 300_000)
-    mesh5 = eval_mesh(pred, gt[perm], threshold=0.05,
-                      crop_pred_to_gt=True)
-    mesh10 = eval_mesh(pred, gt[perm], threshold=0.1,
-                       crop_pred_to_gt=True)
+    # ----- reference sampled protocol (eval/eval_mesh_utils.py:8-91),
+    # DENSIFIED: ~4M GT scan points + 5M mesh samples push the sampling-
+    # spacing distance floor well under the 5 cm threshold (the old 300k
+    # sampling floored every correct surface at ~3.5 cm)
+    pred = sample_mesh_points(v, f, 5_000_000)
+    mesh5 = eval_mesh(pred, gt, threshold=0.05, crop_pred_to_gt=True)
+    mesh10 = eval_mesh(pred, gt, threshold=0.1, crop_pred_to_gt=True)
     # 20 cm is the reference's LiDAR-SLAM mesh threshold scale (5 cm is
     # the RGB-D/Replica protocol; a PGO-corrected map is globally
     # consistent only to the residual drift)
-    mesh20 = eval_mesh(pred, gt[perm], threshold=0.2,
-                       crop_pred_to_gt=True)
-    mesh5_uncropped = eval_mesh(pred, gt[perm], threshold=0.05)
+    mesh20 = eval_mesh(pred, gt, threshold=0.2, crop_pred_to_gt=True)
+    mesh5_uncropped = eval_mesh(pred, gt, threshold=0.05)
+    # GT sampling-density diagnostic: median nearest-OTHER-sample distance
+    from scipy.spatial import cKDTree
+    sub = gt[np.random.RandomState(1).permutation(len(gt))[:20_000]]
+    dspace, _ = cKDTree(gt).query(sub, k=2)
+    gt_spacing = float(np.median(dspace[:, 1]))
 
     # EXACT metrics: point-sampled chamfer adds the sample spacing
     # (~3.5 cm median here) as a distance floor — an exactly correct
@@ -294,6 +303,7 @@ def main():
         "mesh@5cm_uncropped": {k: mesh5_uncropped[k] for k in
                                ("Precision [Accuracy] (%)",
                                 "F-score (%)")},
+        "gt_sample_spacing_m": gt_spacing,
         "mesh_exact": exact,
         "map_points": int(system.state.count),
         "mesh_vertices": int(v.shape[0]),

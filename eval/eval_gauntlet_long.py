@@ -1,0 +1,247 @@
+#!/usr/bin/env python3
+"""Long-horizon gauntlet: the stress dimensions the 240-frame gauntlet
+does not cover (VERDICT round-2 items):
+
+  * >= 1000 frames on an oval track with VERTICAL motion (z oscillation),
+  * swept (rolling-shutter) scans with DESKEW on (the run.py deskew path),
+  * a map large enough to cross PRUNE events and the capacity-growth
+    watchdog (map_capacity starts small on purpose; slam/system.py
+    grow_map_capacity must fire mid-run),
+  * --dynamic: moving spheres in the scene, driving the map-based dynamic
+    filter end-to-end; reports dynamic-measurement rejection quality.
+
+Scored like the main gauntlet: ATE/drift + exact mesh metrics against the
+analytic STATIC scene.
+
+    python eval/eval_gauntlet_long.py [--frames 1000] [--dynamic] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=1000)
+    p.add_argument("--laps", type=float, default=6.15)
+    p.add_argument("--noise", type=float, default=0.01)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--dynamic", action="store_true",
+                   help="add moving spheres + map-based dynamic filter")
+    p.add_argument("--no-deskew", action="store_true")
+    p.add_argument("--out", default=None)
+    a = p.parse_args()
+
+    import jax
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp  # noqa: E402
+
+    from pin_slam_tpu.config import Config
+    from pin_slam_tpu.dataset.slam_dataset import SLAMDataset
+    from pin_slam_tpu.dataset.synthetic import (
+        SyntheticSequence, large_scene, lidar_directions,
+        moving_spheres_scene, oval_trajectory)
+    from pin_slam_tpu.slam.loop import LoopPgoManager
+    from pin_slam_tpu.slam.mesher import Mesher, MeshConfig
+    from pin_slam_tpu.slam.system import PinSLAMSystem
+    from pin_slam_tpu.utils.eval_mesh import (
+        crop_points_to_region, point_to_mesh_distance, sample_mesh_points)
+    from pin_slam_tpu.utils.eval_traj import absolute_error, relative_error
+
+    cfg = Config()
+    cfg.track_on = True
+    cfg.pgo_on = True
+    cfg.max_range = 60.0
+    cfg.min_range = 0.5
+    cfg.vox_down_m = 0.1
+    cfg.source_vox_down_m = 0.5
+    cfg.voxel_size_m = 0.35
+    cfg.sigma_sigmoid_m = 0.05
+    cfg.surface_sample_range_m = 0.3
+    cfg.free_behind_n = 2
+    cfg.loss_weight_on = True
+    cfg.bs = 8192
+    cfg.iters = 10
+    cfg.init_iter_ratio = 25
+    cfg.bs_new_sample = 1024
+    cfg.reg_iter_n = 50
+    # deliberately small: the capacity-growth watchdog
+    # (slam/system.py grow_map_capacity) MUST fire mid-run
+    cfg.map_capacity = 1 << 17
+    cfg.buffer_size = 1 << 21
+    cfg.frame_point_cap = 1 << 14
+    cfg.source_point_cap = 1 << 12
+    cfg.max_frames = 1 << int(np.ceil(np.log2(a.frames + 1)))
+    cfg.local_map_context = False
+    cfg.pgo_freq = 20
+    cfg.silence = True
+    # prune must actually run in-window
+    cfg.prune_map_on = True
+    cfg.prune_freq_frame = 100
+    cfg.max_prune_certainty = 3.0
+    cfg.deskew = not a.no_deskew
+    if a.dynamic:
+        cfg.dynamic_filter_on = True
+    cfg.finalize()
+    cfg.pool_capacity = 3_000_000
+    cfg.local_map_travel_dist_ratio = 0.45
+    cfg.min_loop_travel_dist_ratio = 0.8
+    cfg.use_mid_ts = True
+
+    static_scene = large_scene()
+    scene_t = movers = None
+    if a.dynamic:
+        scene_t, movers = moving_spheres_scene(static_scene, a.frames)
+    poses = oval_trajectory(a.frames, a=16.0, b=8.0, laps=a.laps,
+                            height_amp=1.2, height_waves=2.0,
+                            ease_in_frames=8)
+    seq = SyntheticSequence(
+        scene_sdf=static_scene, scene_sdf_t=scene_t, poses=poses,
+        dirs=lidar_directions(512, 32), max_range=60.0, sweep=True)
+
+    system = PinSLAMSystem(cfg)
+    loop_mgr = LoopPgoManager(cfg, system)
+
+    rng = np.random.RandomState(7)
+    gt_points = []
+    growth_events = []
+    cap0 = cfg.map_capacity
+    dyn_stats = {"n_dyn": 0, "n_dyn_rejected": 0, "n_static": 0,
+                 "n_static_rejected": 0}
+    t0 = time.time()
+    for fid in range(len(seq)):
+        pts_clean, ts = seq.frame_with_ts(fid)
+        pts = pts_clean
+        if a.noise > 0:
+            d = np.linalg.norm(pts[:, :3], axis=1, keepdims=True)
+            pts = pts.copy()
+            pts[:, :3] *= 1.0 + (a.noise * rng.randn(pts.shape[0], 1)
+                                 / np.maximum(d, 1.0))
+        if cfg.deskew and fid > 0 and not system.lose_track:
+            pts = SLAMDataset.deskew(pts, ts, system.last_odom_tran)
+        hook = (lambda f, _p=pts: loop_mgr.after_frame(f, _p))
+        system.process_frame(fid, pts, loop_hook=hook)
+        if cfg.map_capacity != cap0 and (
+                not growth_events or growth_events[-1][1] != cfg.map_capacity):
+            growth_events.append((fid, cfg.map_capacity))
+
+        # GT surface samples: static geometry only, true swept poses
+        w = np.empty_like(pts_clean[:, :3])
+        NSEG = 16
+        seg = np.minimum((ts * NSEG).astype(int), NSEG - 1)
+        for s in np.unique(seg):
+            m = seg == s
+            T = seq._pose_at(fid, (s + 0.5) / NSEG)
+            w[m] = pts_clean[m, :3] @ T[:3, :3].T + T[:3, 3]
+        if movers is not None:
+            dmov = np.min(np.linalg.norm(
+                w[:, None, :] - movers[fid][None], axis=-1), axis=1)
+            is_dyn = dmov < 0.8 + 0.15
+            gt_points.append(w[~is_dyn][::4].astype(np.float32))
+            dyn_stats["n_dyn"] += int(is_dyn.sum())
+            dyn_stats["n_static"] += int((~is_dyn).sum())
+            if fid % 20 == 10 and system.last_static_mask is not None:
+                # filter activity on a cadence (the mask covers the train
+                # cloud; rejected = points the filter kept out of the map)
+                sm = np.asarray(system.last_static_mask)
+                dyn_stats["n_static_rejected"] += int((~sm).sum())
+                dyn_stats["n_checked"] = dyn_stats.get("n_checked", 0) \
+                    + int(sm.shape[0])
+        else:
+            gt_points.append(w[::4].astype(np.float32))
+        if fid % 50 == 0:
+            el = time.time() - t0
+            print(f"frame {fid}/{len(seq)} ({el / (fid + 1) * 1e3:.0f} "
+                  f"ms/frame, map {int(system.state.count)}/"
+                  f"{cfg.map_capacity}, loops {loop_mgr.pgo_count}, "
+                  f"lost {system.lose_track})", file=sys.stderr)
+
+    n = len(seq)
+    A0 = seq.poses[0]
+    slam_poses = A0 @ system.pgo_poses[:n]
+    odom_poses = A0 @ system.odom_poses[:n]
+    ate_s, are_s = absolute_error(seq.poses[:n], slam_poses, False)
+    ate_o, are_o = absolute_error(seq.poses[:n], odom_poses, False)
+    lengths = (20, 40, 60, 80, 100)
+    dt_s, dr_s = relative_error(seq.poses[:n], slam_poses, lengths, step=5)
+    dt_o, dr_o = relative_error(seq.poses[:n], odom_poses, lengths, step=5)
+
+    mesher = Mesher(system.qp, MeshConfig(
+        mc_res_m=0.15, mesh_min_nn=10, min_cluster_vertices=300,
+        infer_bs=1 << 15, skip_top_voxel=0))
+    v, f = mesher.recon_map_mesh(
+        system.state, system.params["geo_features"],
+        system.params["geo_mlp"])
+    v = v @ A0[:3, :3].T + A0[:3, 3]
+    gt = np.concatenate(gt_points)
+    perm = np.random.RandomState(0).permutation(len(gt))[:300_000]
+    pred = sample_mesh_points(v, f, 1_000_000)
+    pred_obs = crop_points_to_region(pred, gt[perm])
+    d_prec = np.abs(static_scene(pred_obs.astype(np.float64)))
+    d_rec = point_to_mesh_distance(gt[perm], v, f)
+    exact = {}
+    for thr in (0.05, 0.1, 0.2):
+        P = 100.0 * float((d_prec < thr).mean())
+        R = 100.0 * float((d_rec < thr).mean())
+        exact[f"@{int(thr*100)}cm"] = {
+            "Precision [Accuracy] (%)": P,
+            "Recall [Completeness] (%)": R,
+            "F-score (%)": 2 * P * R / max(P + R, 1e-9),
+        }
+
+    results = {
+        "mode": "long+dynamic" if a.dynamic else "long",
+        "frames": n,
+        "deskew": cfg.deskew,
+        "vertical_motion_amp_m": 1.2,
+        "loop_closures": int(loop_mgr.pgo_count),
+        "capacity_growth_events": [
+            {"frame": int(f_), "new_capacity": int(c_)}
+            for f_, c_ in growth_events],
+        "final_map_points": int(system.state.count),
+        "slam": {"ATE_RMSE_m": ate_s, "ARE_deg": are_s,
+                 "drift_t_pct": dt_s, "drift_r_deg_per_100m": dr_s},
+        "odom": {"ATE_RMSE_m": ate_o, "ARE_deg": are_o,
+                 "drift_t_pct": dt_o, "drift_r_deg_per_100m": dr_o},
+        "mesh_exact": exact,
+        "mesh_vertices": int(v.shape[0]),
+    }
+    if a.dynamic:
+        total = dyn_stats["n_dyn"] + dyn_stats["n_static"]
+        results["dynamic"] = {
+            "movers": 3,
+            "dynamic_measurement_fraction":
+                dyn_stats["n_dyn"] / max(total, 1),
+            "filter_rejection_fraction":
+                dyn_stats["n_static_rejected"]
+                / max(dyn_stats.get("n_checked", 0), 1),
+            # ghost check: predicted-mesh samples near any mover PATH are
+            # map contamination the dynamic filter failed to reject
+            "mesh_ghost_fraction": float(np.mean(
+                np.min(np.linalg.norm(
+                    pred_obs[:, None, :]
+                    - movers.reshape(-1, 3)[None, ::37], axis=-1),
+                    axis=1) < 0.8)),
+        }
+    out = a.out or ("eval/gauntlet_long_dynamic_results.json" if a.dynamic
+                    else "eval/gauntlet_long_results.json")
+    with open(out, "w") as fp:
+        json.dump(results, fp, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -623,12 +623,23 @@ def make_train_loop(
 
         bidxs, kcs = jax.vmap(draw)(keys[1:])            # [n_iters, bs]
         coords_all = pool.coord[bidxs.idx.reshape(-1)]
-        qn_all = npm.query_neighbors_join(
-            None, coords_all, lset, nn_k=cand_k,
-            max_dist2=qp.join_max_dist2, resolution=qp.resolution,
-            local_ids=True)
-        cand_all = qn_all.idx.reshape(n_iters, bs, cand_k)
-        cvalid_all = qn_all.valid.reshape(n_iters, bs, cand_k)
+        # chunk the probe: its ragged pair list lives in SMEM scalar-
+        # prefetch (1 MB limit) and scales with the query count — ~200k
+        # queries per kernel call is safely inside it (the init frame's
+        # iters*init_iter_ratio run would otherwise probe millions at once)
+        chunk_iters = max(1, min(n_iters, (196608 + bs - 1) // bs))
+        idx_parts, val_parts = [], []
+        for s in range(0, n_iters, chunk_iters):
+            e = min(s + chunk_iters, n_iters)
+            qn_c = npm.query_neighbors_join(
+                None, coords_all[s * bs: e * bs], lset, nn_k=cand_k,
+                max_dist2=qp.join_max_dist2, resolution=qp.resolution,
+                local_ids=True)
+            idx_parts.append(qn_c.idx)
+            val_parts.append(qn_c.valid)
+        cand_all = jnp.concatenate(idx_parts).reshape(n_iters, bs, cand_k)
+        cvalid_all = jnp.concatenate(val_parts).reshape(
+            n_iters, bs, cand_k)
 
         carry, losses = jax.lax.scan(
             one_local,

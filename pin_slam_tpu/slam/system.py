@@ -174,6 +174,7 @@ class PinSLAMSystem:
         self._cur_track_feats = None
         # extra mapping iterations requested by an accepted loop closure
         self.post_loop_iter_boost_pending = 0
+        self.last_static_mask = None  # dynamic filter's latest verdicts
         # PIN_SYNC_TIMING=1: block after each stage so self.timings
         # attributes device time to the right column (debug/profiling)
         import os as _os
@@ -838,6 +839,9 @@ class PinSLAMSystem:
                     self.state, self.params["geo_features"],
                     self.params["geo_mlp"], world,
                     static_mask, self._lf(frame_id - 1))
+                # device array over the train cloud (rows < train_n);
+                # evals pull it on a cadence to score the filter
+                self.last_static_mask = static_mask
             (self.state, self.pool, self.key, new_ratio,
              new_obs_ratio) = self._frame_update(
                 self.state, self.pool, train_pts, train_attr, train_n,

@@ -138,25 +138,19 @@ def rerank_candidates(
     cvalid: jnp.ndarray,         # [N, K]
     qp: QueryParams,
 ) -> npm.QueryNeighbors:
-    """Exact top-nn_k selection from a cached candidate set by true
-    distance with the radius bound — equivalent to a fresh kernel probe
-    when the candidates were produced with K >= nn_k at the same bound and
-    the underlying positions have not moved. O(nn_k * K) argmin rounds on
-    the VPU instead of a tile walk; this is what makes one per-frame probe
-    servable across all training iterations."""
-    K = cand.shape[1]
-    ci = jnp.where(cvalid, cand, lset.cap)
-    pos = lset.pts[ci]                                   # [N, K, 3]
-    d2 = jnp.sum((jax.lax.stop_gradient(q_abs)[:, None, :] - pos) ** 2, -1)
-    use = cvalid & (d2 <= qp.join_max_dist2)
-    d2m = jnp.where(use, d2, npm.BIG_DIST2)
-    nn_count = jnp.sum(use, axis=-1).astype(jnp.int32)
-
-    neg, sel = jax.lax.top_k(-d2m, qp.nn_k)              # [N, nn_k]
-    ok = -neg < npm.BIG_DIST2
-    idx = jnp.where(ok, jnp.take_along_axis(ci, sel, axis=1), lset.cap)
-    return npm.QueryNeighbors(idx=idx.astype(jnp.int32), dist2=-neg,
-                              valid=ok, nn_count=nn_count)
+    """Exact top-nn_k from a cached candidate set. The probe kernel
+    (ops/knn_join.py) emits candidates SORTED ascending by distance, and
+    within a frame's training run the positions do not move — so the true
+    top-nn_k is literally the first nn_k columns; no distance recompute,
+    no top_k (measured: a lax.top_k re-rank here costs as much as the
+    kernel probe it replaces). Downstream query_decode recomputes the
+    selected neighbors' distances differentiably anyway."""
+    del lset, q_abs
+    k = qp.nn_k
+    return npm.QueryNeighbors(
+        idx=cand[:, :k], dist2=jnp.zeros(cand[:, :k].shape, jnp.float32),
+        valid=cvalid[:, :k],
+        nn_count=jnp.sum(cvalid, axis=-1).astype(jnp.int32))
 
 
 def query_decode(

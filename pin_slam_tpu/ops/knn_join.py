@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 TQ = 128          # queries per tile (smaller tiles -> tighter bboxes ->
                   # fewer active pairs; tuned on v5e)
 TL = 512          # local points per tile
-PAIR_FACTOR = 20  # pair-list capacity = PAIR_FACTOR * n_query_tiles
+ROW_CAP = 32      # max candidate local tiles per query tile
 BIG = 9e3   # python floats: jnp scalars would be captured
 PAD = 1e9   # as constants by the pallas kernel
 
@@ -118,67 +118,79 @@ def build_local_set(
                     cert=cert, ts_upd=ts_upd, quat=quat)
 
 
-def _knn_kernel(qid_ref, pid_ref, flags_ref, q_ref, p_ref,
+def _knn_kernel(pid_ref, q_ref, p_ref,
                 outd_ref, outi_ref, cnt_ref, cat_d, cat_i,
-                *, k, max_dist2, tq, tl):
+                *, k, max_dist2, tq, tl, rmax):
+    """One grid step per QUERY tile. The whole Morton-sorted local set is
+    VMEM-resident as a [3, L] lane-major array (a [L, 3] layout would pad
+    the 3-wide minor dim to 128 lanes: 64 MB instead of 4), so visiting a
+    candidate local tile is a VMEM dynamic slice instead of a fresh HBM
+    DMA + grid step. Measured: the previous one-grid-step-per-tile-PAIR
+    layout was bound by ~1.3 us/step grid overhead (40 ms for a 196k-query
+    probe = 30k steps), not by compute."""
     i = pl.program_id(0)
-    first = flags_ref[i] & 1
-    valid = flags_ref[i] & 2
+    outd_ref[:] = jnp.full((tq, k), BIG, jnp.float32)
+    outi_ref[:] = jnp.full((tq, k), -1, jnp.int32)
+    cnt_ref[:] = jnp.zeros((tq, 1), jnp.int32)
 
-    @pl.when(first == 1)
-    def _():
-        outd_ref[:] = jnp.full((tq, k), BIG, jnp.float32)
-        outi_ref[:] = jnp.full((tq, k), -1, jnp.int32)
-        cnt_ref[:] = jnp.zeros((tq, 1), jnp.int32)
+    qx = q_ref[:, 0:1]                                  # [TQ, 1]
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
 
-    @pl.when(valid == 2)
-    def _():
-        qp = q_ref[:]                                   # [TQ, 3]
-        pp = p_ref[:]                                   # [TL, 3]
-        dx = qp[:, 0:1] - pp[:, 0][None, :]             # [TQ, TL]
-        dy = qp[:, 1:2] - pp[:, 1][None, :]
-        dz = qp[:, 2:3] - pp[:, 2][None, :]
-        d2 = dx * dx + dy * dy + dz * dz
-        in_r = d2 <= max_dist2
-        cnt_ref[:] = cnt_ref[:] + jnp.sum(
-            in_r, axis=1, keepdims=True).astype(jnp.int32)
-        d2m = jnp.where(in_r, d2, BIG)
+    def visit(r, _):
+        pid = pid_ref[i, r]
 
-        # active tiles are visited nearest-first, so the running top-k
-        # saturates quickly; skip the (expensive) merge when no candidate
-        # in this tile improves any query's current worst neighbor
-        worst = outd_ref[:, k - 1]
-        improves = jnp.any(d2m < worst[:, None])
-
-        @pl.when(improves)
+        @pl.when(pid >= 0)
         def _():
-            base = pid_ref[i] * tl
-            col = jax.lax.broadcasted_iota(jnp.int32, (tq, tl), 1) + base
+            base = pid * tl
+            dx = qx - p_ref[0:1, pl.ds(base, tl)]       # [TQ, TL]
+            dy = qy - p_ref[1:2, pl.ds(base, tl)]
+            dz = qz - p_ref[2:3, pl.ds(base, tl)]
+            d2 = dx * dx + dy * dy + dz * dz
+            in_r = d2 <= max_dist2
+            cnt_ref[:] = cnt_ref[:] + jnp.sum(
+                in_r, axis=1, keepdims=True).astype(jnp.int32)
+            d2m = jnp.where(in_r, d2, BIG)
 
-            # merge into the running top-k: concat, k argmin rounds
-            cat_d[:, :k] = outd_ref[:]
-            cat_d[:, k:] = d2m
-            cat_i[:, :k] = outi_ref[:]
-            cat_i[:, k:] = col
+            # tiles are visited nearest-first, so the running top-k
+            # saturates quickly; skip the merge when no candidate in this
+            # tile improves any query's current worst neighbor
+            worst = outd_ref[:, k - 1]
+            improves = jnp.any(d2m < worst[:, None])
 
-            for r in range(k):
-                vals = cat_d[:]
-                mn = jnp.min(vals, axis=1, keepdims=True)   # [TQ, 1]
-                ci = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
-                sel = jnp.min(
-                    jnp.where(vals <= mn, ci, jnp.int32(1 << 30)),
-                    axis=1, keepdims=True)
-                pick = ci == sel
-                idx = jnp.sum(jnp.where(pick, cat_i[:], 0), axis=1)
-                outd_ref[:, r] = mn[:, 0]
-                outi_ref[:, r] = jnp.where(mn[:, 0] < BIG, idx, -1)
-                cat_d[:] = jnp.where(pick, BIG, cat_d[:])
+            @pl.when(improves)
+            def _():
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (tq, tl), 1) + base
+
+                # merge into the running top-k: concat, k argmin rounds
+                cat_d[:, :k] = outd_ref[:]
+                cat_d[:, k:] = d2m
+                cat_i[:, :k] = outi_ref[:]
+                cat_i[:, k:] = col
+
+                for r2 in range(k):
+                    vals = cat_d[:]
+                    mn = jnp.min(vals, axis=1, keepdims=True)   # [TQ, 1]
+                    ci = jax.lax.broadcasted_iota(
+                        jnp.int32, vals.shape, 1)
+                    sel = jnp.min(
+                        jnp.where(vals <= mn, ci, jnp.int32(1 << 30)),
+                        axis=1, keepdims=True)
+                    pick = ci == sel
+                    idx = jnp.sum(jnp.where(pick, cat_i[:], 0), axis=1)
+                    outd_ref[:, r2] = mn[:, 0]
+                    outi_ref[:, r2] = jnp.where(mn[:, 0] < BIG, idx, -1)
+                    cat_d[:] = jnp.where(pick, BIG, cat_d[:])
+        return 0
+
+    jax.lax.fori_loop(0, rmax, visit, 0, unroll=False)
 
 
-def _build_pairs(qs: jnp.ndarray, lpts: jnp.ndarray, max_dist2: float,
-                 tq: int = TQ, tl: int = TL,
-                 pair_factor: int = PAIR_FACTOR):
-    """Ragged (qid, pid) tile-pair list from bbox distances. Pure jnp."""
+def _build_pair_rows(qs: jnp.ndarray, lpts: jnp.ndarray, max_dist2: float,
+                     tq: int = TQ, tl: int = TL, row_cap: int = ROW_CAP):
+    """Per-query-tile candidate local-tile table [nq, row_cap] (i32, -1 =
+    none), nearest-first by tile-bbox distance. Pure jnp."""
     nq = qs.shape[0] // tq
     npt = lpts.shape[0] // tl
     qt = qs.reshape(nq, tq, 3)
@@ -194,57 +206,20 @@ def _build_pairs(qs: jnp.ndarray, lpts: jnp.ndarray, max_dist2: float,
         jnp.maximum(qmin[:, None] - pmax[None], pmin[None] - qmax[:, None]),
         0.0)
     bb2 = jnp.sum(jnp.where(jnp.isfinite(gap), gap * gap, jnp.inf), -1)
-    act = bb2 <= max_dist2                              # [nq, npt]
-
-    cap_pairs = pair_factor * nq
-    per_row_cap = min(npt, 48)
-    key = jnp.where(act, bb2, jnp.inf)
-    order = jnp.argsort(key, axis=1)[:, :per_row_cap].astype(jnp.int32)
-    ids = order                                          # [nq, R] nearest-1st
-    bb2_sel = jnp.take_along_axis(key, order, axis=1)    # inf = inactive
-    act_sel = jnp.isfinite(bb2_sel)
-
-    # GLOBAL nearest-first slot allocation under the cap_pairs budget:
-    # every row's nearest tile is mandatory (priority -1, so it always
-    # wins a slot and carries the row's init step); remaining slots go to
-    # the globally closest (row, tile) candidates. A per-row greedy
-    # cumsum allocation instead lets early rows exhaust the budget and
-    # leaves later query tiles with NO pairs — their output blocks would
-    # never be initialized (observed as silently missing neighbors on
-    # dense maps).
-    pri = jnp.where(act_sel, bb2_sel, jnp.inf).at[:, 0].set(-1.0)
-    flat_pri = pri.reshape(-1)                           # row-major: row
-    rank = jnp.argsort(flat_pri)                         # asc
-    n_cand = flat_pri.shape[0]
-    sel = jnp.zeros((n_cand,), bool).at[
-        rank[: min(cap_pairs, n_cand)]].set(True)
-    sel = sel & jnp.isfinite(flat_pri) | (flat_pri < 0.0)
-
-    # enumerate selected pairs in row-major order (= per row nearest-first,
-    # rows contiguous — the kernel's output blocks stay monotone in qid)
-    slot = jnp.where(sel, jnp.cumsum(sel.astype(jnp.int32)) - 1, cap_pairs)
-    slot = jnp.minimum(slot, cap_pairs)
-    qrow = jnp.broadcast_to(jnp.arange(nq, dtype=jnp.int32)[:, None],
-                            ids.shape).reshape(-1)
-    # padded tail: last real qid, valid=0
-    qid = jnp.full((cap_pairs + 1,), nq - 1, jnp.int32
-                   ).at[slot].set(qrow)[:cap_pairs]
-    pid = jnp.zeros((cap_pairs + 1,), jnp.int32
-                    ).at[slot].set(ids.reshape(-1))[:cap_pairs]
-    valid_f = jnp.zeros((cap_pairs + 1,), jnp.int32).at[slot].set(
-        act_sel.reshape(-1).astype(jnp.int32) * 2)[:cap_pairs]
-    # the row-major first selected candidate of each row is its j==0
-    # mandatory tile — that slot carries the init flag
-    first_mask = jnp.zeros((nq, per_row_cap), bool).at[:, 0].set(True)
-    first_f = jnp.zeros((cap_pairs + 1,), jnp.int32).at[slot].set(
-        first_mask.reshape(-1).astype(jnp.int32))[:cap_pairs]
-    flags = valid_f | first_f
-    return qid, pid, flags, cap_pairs
+    key = jnp.where(bb2 <= max_dist2, bb2, jnp.inf)      # [nq, npt]
+    r = min(npt, row_cap)
+    order = jnp.argsort(key, axis=1)[:, :r].astype(jnp.int32)
+    act = jnp.isfinite(jnp.take_along_axis(key, order, axis=1))
+    tab = jnp.where(act, order, -1)
+    if r < row_cap:
+        tab = jnp.concatenate(
+            [tab, jnp.full((nq, row_cap - r), -1, jnp.int32)], axis=1)
+    return tab
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_dist2", "resolution",
                                              "interpret", "tq", "tl",
-                                             "pair_factor"))
+                                             "row_cap"))
 def knn_join(
     qpts: jnp.ndarray,        # [N, 3] f32, N a multiple of tq (pad with 1e9)
     lset_pts: jnp.ndarray,    # [L, 3] Morton-sorted local points (L % tl = 0)
@@ -254,9 +229,14 @@ def knn_join(
     interpret: bool = None,   # default: interpret off-TPU (CPU tests)
     tq: int = TQ,
     tl: int = TL,
-    pair_factor: int = PAIR_FACTOR,
+    row_cap: int = ROW_CAP,
 ):
     """Exact radius-bounded k-NN of qpts against the local set.
+
+    One grid step per query tile; the full local set rides in VMEM as a
+    lane-major [3, L] array (L=131k -> 1.5 MB) and each step walks its
+    nearest-first candidate-tile row with VMEM dynamic slices — grid-step
+    overhead no longer scales with the pair count.
 
     Returns (idx_local [N, k] i32 with -1 = none, d2 [N, k] f32 with BIG
     for missing, cnt [N] i32 in-radius candidate count).
@@ -271,24 +251,26 @@ def knn_join(
     qsi = _sort_by_morton(qpts, qvalid, resolution * 4.0)
     qs = qpts[qsi]
 
-    qid, pid, flags, cap_pairs = _build_pairs(qs, lset_pts, max_dist2,
-                                              tq, tl, pair_factor)
+    pid_tab = _build_pair_rows(qs, lset_pts, max_dist2, tq, tl, row_cap)
+    nq = n // tq
+    lset_t = lset_pts.T                                  # [3, L] lane-major
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(cap_pairs,),
+        num_scalar_prefetch=1,
+        grid=(nq,),
         in_specs=[
-            pl.BlockSpec((tq, 3), lambda i, qid, pid, fl: (qid[i], 0),
+            pl.BlockSpec((tq, 3), lambda i, tab: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tl, 3), lambda i, qid, pid, fl: (pid[i], 0),
+            # whole local set, fetched once (constant index map)
+            pl.BlockSpec((3, L), lambda i, tab: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tq, k), lambda i, qid, pid, fl: (qid[i], 0),
+            pl.BlockSpec((tq, k), lambda i, tab: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, k), lambda i, qid, pid, fl: (qid[i], 0),
+            pl.BlockSpec((tq, k), lambda i, tab: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, 1), lambda i, qid, pid, fl: (qid[i], 0),
+            pl.BlockSpec((tq, 1), lambda i, tab: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -297,7 +279,7 @@ def knn_join(
         ],
     )
     kern = functools.partial(_knn_kernel, k=k, max_dist2=max_dist2,
-                             tq=tq, tl=tl)
+                             tq=tq, tl=tl, rmax=row_cap)
     outd, outi, cnt = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -307,7 +289,7 @@ def knn_join(
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(qid, pid, flags, qs, lset_pts)
+    )(pid_tab, qs, lset_t)
 
     inv = jnp.zeros_like(qsi).at[qsi].set(
         jnp.arange(n, dtype=qsi.dtype))

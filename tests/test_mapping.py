@@ -227,3 +227,37 @@ class TestCapacityGrowth:
         assert s.config.map_capacity > 1 << 12, "capacity did not grow"
         assert int(s.state.count) > 1 << 12, \
             "map stopped at the original capacity"
+
+
+class TestSortedCertainty:
+    def test_matches_scatter(self):
+        """accumulate_certainty_sorted == naive per-element scatter."""
+        rng = np.random.RandomState(0)
+        cap = 500
+        m = 4096
+        idx = rng.randint(0, cap + 1, m)  # cap = dump row
+        w = rng.rand(m).astype(np.float32)
+        w[idx == cap] = 0.0
+        ts = rng.randint(0, 40, m)
+        cert0 = rng.rand(cap + 1).astype(np.float32)
+        cert0[cap] = 0.0
+        ts0 = rng.randint(0, 10, cap + 1)
+        ts0[cap] = 0
+
+        cert, tsu = mp.accumulate_certainty_sorted(
+            jnp.asarray(cert0), jnp.asarray(ts0),
+            jnp.asarray(idx), jnp.asarray(w), jnp.asarray(ts), cap)
+
+        ref_c = cert0.copy()
+        ref_t = ts0.copy()
+        for i in range(m):
+            ref_c[idx[i]] += w[i]
+            ref_t[idx[i]] = max(ref_t[idx[i]], ts[i])
+        ref_c[cap] = 0.0
+        ref_t[cap] = 0
+        # csum-difference accumulation carries O(eps * total_weight)
+        # absolute error (documented in accumulate_certainty_sorted);
+        # certainty thresholds live at O(1)
+        np.testing.assert_allclose(np.asarray(cert), ref_c, rtol=2e-4,
+                                   atol=2e-3)
+        assert np.array_equal(np.asarray(tsu), ref_t)

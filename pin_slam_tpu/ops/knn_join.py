@@ -98,27 +98,40 @@ def build_local_set(
     ts_update: Optional[jnp.ndarray] = None,   # [C+1]
     orientations: Optional[jnp.ndarray] = None,  # [C+1, 4]
 ) -> LocalSet:
-    """Compact + Morton-sort the masked map rows into a static LocalSet."""
+    """Compact + Morton-sort the masked map rows into a static LocalSet.
+
+    One full-capacity sort by (masked-out?, morton) does the compaction
+    AND the spatial ordering together: the masked rows land in the first
+    `count` slots already Morton-ordered, so the [C]-sized scatter the
+    two-step (compact, then sort the compact rows) formulation needs is
+    gone (TPU scatters cost ~14 cycles/element; the sort is ~2x cheaper
+    than that scatter at C = 1M)."""
     cap = ((cap + TL - 1) // TL) * TL     # kernel needs L % TL == 0
     C = positions.shape[0] - 1
-    order = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    dest = jnp.where(mask & (order < cap), order, cap)
-    gidx = jnp.full((cap + 1,), C, jnp.int32).at[dest].set(
-        jnp.arange(C, dtype=jnp.int32))[:cap]
-    valid = gidx < C
-    pts = jnp.where(valid[:, None], positions[gidx], PAD)
-    si = _sort_by_morton(pts, valid, resolution * 4.0)
-    gidx_s = jnp.concatenate([gidx[si], jnp.full((1,), C, jnp.int32)])
-    pts_s = jnp.concatenate([pts[si], jnp.zeros((1, 3), pts.dtype)])
+    pos = positions[:C]
+    ref = jnp.min(jnp.where(mask[:, None], pos, jnp.inf), axis=0)
+    ref = jnp.where(jnp.isfinite(ref), ref, 0.0)
+    grid = jnp.clip(jnp.floor((pos - ref) / (resolution * 4.0)),
+                    0, 1023).astype(jnp.int32)
+    code = jnp.where(mask, _morton10(grid), jnp.int32(0x7FFFFFFF))
+    _, perm = jax.lax.sort((code, jnp.arange(C, dtype=jnp.int32)),
+                           num_keys=1)
+    n_valid = jnp.sum(mask.astype(jnp.int32))
+    take = jnp.minimum(n_valid, cap)
+    sel = perm[:cap]
+    valid = jnp.arange(cap) < take
+    gidx_s = jnp.concatenate(
+        [jnp.where(valid, sel, C), jnp.full((1,), C, jnp.int32)])
+    pts_s = jnp.where(valid[:, None], positions[gidx_s[:cap]], PAD)
+    pts_s = jnp.concatenate([pts_s, jnp.zeros((1, 3), pts_s.dtype)])
     cert = None if certainty is None else certainty[gidx_s]
     ts_upd = None if ts_update is None else ts_update[gidx_s]
     quat = None if orientations is None else orientations[gidx_s]
-    return LocalSet(pts=pts_s, gidx=gidx_s,
-                    count=jnp.sum(valid.astype(jnp.int32)),
+    return LocalSet(pts=pts_s, gidx=gidx_s, count=n_valid,
                     cert=cert, ts_upd=ts_upd, quat=quat)
 
 
-def _knn_kernel(pid_ref, q_ref, p_ref,
+def _knn_kernel(pid_ref, bbd_ref, q_ref, p_ref,
                 outd_ref, outi_ref, cnt_ref, cat_d, cat_i,
                 *, k, max_dist2, tq, tl, rmax):
     """One grid step per QUERY tile. The whole Morton-sorted local set is
@@ -127,7 +140,15 @@ def _knn_kernel(pid_ref, q_ref, p_ref,
     candidate local tile is a VMEM dynamic slice instead of a fresh HBM
     DMA + grid step. Measured: the previous one-grid-step-per-tile-PAIR
     layout was bound by ~1.3 us/step grid overhead (40 ms for a 196k-query
-    probe = 30k steps), not by compute."""
+    probe = 30k steps), not by compute.
+
+    The candidate walk EARLY-EXITS exactly: tiles arrive sorted by
+    bounding-box distance (bbd_ref), so once every query in the tile has a
+    full in-radius top-k and the next tile's bbox distance exceeds the
+    tile-wide worst kept distance, no later tile can improve any query —
+    stop. cnt (in-radius candidates seen) then undercounts the true
+    radius count, but only for queries whose top-k is already saturated,
+    so `cnt >= thre` tests are exact for thre <= k (the only use)."""
     i = pl.program_id(0)
     outd_ref[:] = jnp.full((tq, k), BIG, jnp.float32)
     outi_ref[:] = jnp.full((tq, k), -1, jnp.int32)
@@ -137,54 +158,58 @@ def _knn_kernel(pid_ref, q_ref, p_ref,
     qy = q_ref[:, 1:2]
     qz = q_ref[:, 2:3]
 
-    def visit(r, _):
-        pid = pid_ref[i, r]
+    def cond(r):
+        in_range = r < rmax
+        rr = jnp.minimum(r, rmax - 1)
+        # padded / out-of-radius rows carry bbd = BIG -> always stop;
+        # unsaturated queries keep worst = BIG -> never stop early
+        return in_range & (bbd_ref[rr, i] < jnp.max(outd_ref[:, k - 1]))
 
-        @pl.when(pid >= 0)
+    def visit(r):
+        pid = pid_ref[r, i]
+        base = pid * tl
+        dx = qx - p_ref[0:1, pl.ds(base, tl)]       # [TQ, TL]
+        dy = qy - p_ref[1:2, pl.ds(base, tl)]
+        dz = qz - p_ref[2:3, pl.ds(base, tl)]
+        d2 = dx * dx + dy * dy + dz * dz
+        in_r = d2 <= max_dist2
+        cnt_ref[:] = cnt_ref[:] + jnp.sum(
+            in_r, axis=1, keepdims=True).astype(jnp.int32)
+        d2m = jnp.where(in_r, d2, BIG)
+
+        # tiles are visited nearest-first, so the running top-k
+        # saturates quickly; skip the merge when no candidate in this
+        # tile improves any query's current worst neighbor
+        worst = outd_ref[:, k - 1]
+        improves = jnp.any(d2m < worst[:, None])
+
+        @pl.when(improves)
         def _():
-            base = pid * tl
-            dx = qx - p_ref[0:1, pl.ds(base, tl)]       # [TQ, TL]
-            dy = qy - p_ref[1:2, pl.ds(base, tl)]
-            dz = qz - p_ref[2:3, pl.ds(base, tl)]
-            d2 = dx * dx + dy * dy + dz * dz
-            in_r = d2 <= max_dist2
-            cnt_ref[:] = cnt_ref[:] + jnp.sum(
-                in_r, axis=1, keepdims=True).astype(jnp.int32)
-            d2m = jnp.where(in_r, d2, BIG)
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (tq, tl), 1) + base
 
-            # tiles are visited nearest-first, so the running top-k
-            # saturates quickly; skip the merge when no candidate in this
-            # tile improves any query's current worst neighbor
-            worst = outd_ref[:, k - 1]
-            improves = jnp.any(d2m < worst[:, None])
+            # merge into the running top-k: concat, k argmin rounds
+            cat_d[:, :k] = outd_ref[:]
+            cat_d[:, k:] = d2m
+            cat_i[:, :k] = outi_ref[:]
+            cat_i[:, k:] = col
 
-            @pl.when(improves)
-            def _():
-                col = jax.lax.broadcasted_iota(
-                    jnp.int32, (tq, tl), 1) + base
+            for r2 in range(k):
+                vals = cat_d[:]
+                mn = jnp.min(vals, axis=1, keepdims=True)   # [TQ, 1]
+                ci = jax.lax.broadcasted_iota(
+                    jnp.int32, vals.shape, 1)
+                sel = jnp.min(
+                    jnp.where(vals <= mn, ci, jnp.int32(1 << 30)),
+                    axis=1, keepdims=True)
+                pick = ci == sel
+                idx = jnp.sum(jnp.where(pick, cat_i[:], 0), axis=1)
+                outd_ref[:, r2] = mn[:, 0]
+                outi_ref[:, r2] = jnp.where(mn[:, 0] < BIG, idx, -1)
+                cat_d[:] = jnp.where(pick, BIG, cat_d[:])
+        return r + 1
 
-                # merge into the running top-k: concat, k argmin rounds
-                cat_d[:, :k] = outd_ref[:]
-                cat_d[:, k:] = d2m
-                cat_i[:, :k] = outi_ref[:]
-                cat_i[:, k:] = col
-
-                for r2 in range(k):
-                    vals = cat_d[:]
-                    mn = jnp.min(vals, axis=1, keepdims=True)   # [TQ, 1]
-                    ci = jax.lax.broadcasted_iota(
-                        jnp.int32, vals.shape, 1)
-                    sel = jnp.min(
-                        jnp.where(vals <= mn, ci, jnp.int32(1 << 30)),
-                        axis=1, keepdims=True)
-                    pick = ci == sel
-                    idx = jnp.sum(jnp.where(pick, cat_i[:], 0), axis=1)
-                    outd_ref[:, r2] = mn[:, 0]
-                    outi_ref[:, r2] = jnp.where(mn[:, 0] < BIG, idx, -1)
-                    cat_d[:] = jnp.where(pick, BIG, cat_d[:])
-        return 0
-
-    jax.lax.fori_loop(0, rmax, visit, 0, unroll=False)
+    jax.lax.while_loop(cond, visit, 0)
 
 
 def _build_pair_rows(qs: jnp.ndarray, lpts: jnp.ndarray, max_dist2: float,
@@ -209,12 +234,18 @@ def _build_pair_rows(qs: jnp.ndarray, lpts: jnp.ndarray, max_dist2: float,
     key = jnp.where(bb2 <= max_dist2, bb2, jnp.inf)      # [nq, npt]
     r = min(npt, row_cap)
     order = jnp.argsort(key, axis=1)[:, :r].astype(jnp.int32)
-    act = jnp.isfinite(jnp.take_along_axis(key, order, axis=1))
+    kv = jnp.take_along_axis(key, order, axis=1)
+    act = jnp.isfinite(kv)
     tab = jnp.where(act, order, -1)
+    bbd = jnp.where(act, kv, BIG).astype(jnp.float32)
     if r < row_cap:
         tab = jnp.concatenate(
             [tab, jnp.full((nq, row_cap - r), -1, jnp.int32)], axis=1)
-    return tab
+        bbd = jnp.concatenate(
+            [bbd, jnp.full((nq, row_cap - r), BIG, jnp.float32)], axis=1)
+    # [row_cap, nq] layout: SMEM prefetch pads the MINOR dim to 128 lanes,
+    # so the walk index must be the major dim to keep the tables small
+    return tab.T, bbd.T
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_dist2", "resolution",
@@ -251,26 +282,27 @@ def knn_join(
     qsi = _sort_by_morton(qpts, qvalid, resolution * 4.0)
     qs = qpts[qsi]
 
-    pid_tab = _build_pair_rows(qs, lset_pts, max_dist2, tq, tl, row_cap)
+    pid_tab, bbd_tab = _build_pair_rows(qs, lset_pts, max_dist2, tq, tl,
+                                        row_cap)
     nq = n // tq
     lset_t = lset_pts.T                                  # [3, L] lane-major
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nq,),
         in_specs=[
-            pl.BlockSpec((tq, 3), lambda i, tab: (i, 0),
+            pl.BlockSpec((tq, 3), lambda i, tab, bbd: (i, 0),
                          memory_space=pltpu.VMEM),
             # whole local set, fetched once (constant index map)
-            pl.BlockSpec((3, L), lambda i, tab: (0, 0),
+            pl.BlockSpec((3, L), lambda i, tab, bbd: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tq, k), lambda i, tab: (i, 0),
+            pl.BlockSpec((tq, k), lambda i, tab, bbd: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, k), lambda i, tab: (i, 0),
+            pl.BlockSpec((tq, k), lambda i, tab, bbd: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, 1), lambda i, tab: (i, 0),
+            pl.BlockSpec((tq, 1), lambda i, tab, bbd: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -289,7 +321,7 @@ def knn_join(
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(pid_tab, qs, lset_t)
+    )(pid_tab, bbd_tab, qs, lset_t)
 
     inv = jnp.zeros_like(qsi).at[qsi].set(
         jnp.arange(n, dtype=qsi.dtype))

@@ -279,17 +279,30 @@ def mapping_loss(
     key: Optional[jax.Array] = None,
     lset=None,
     cand=None,
+    batch=None,
 ):
     """One training batch's loss (reference: utils/mapper.py:623-812).
 
     params: {'geo_features': [C+1,F], 'geo_mlp': ..., optional 'color_features',
     'color_mlp', 'sem_mlp'}. Returns (loss, aux) with aux carrying the
     certainty-update neighbor info.
+
+    `batch`, when given, carries the PRE-GATHERED pool rows for this
+    iteration (dict with coord/sdf_label/weight/ts [+ sem_label/
+    color_label]) — the per-frame training loop gathers all its
+    iterations' labels in one pass outside the scan (labels don't change
+    during the run), so the scan body does no [pool]-sized random gathers.
     """
-    coord = pool.coord[bidx.idx]
-    sdf_label = pool.sdf_label[bidx.idx]
-    weight = jnp.abs(pool.weight[bidx.idx])
-    ts = pool.ts[bidx.idx]
+    if batch is not None:
+        coord = batch["coord"]
+        sdf_label = batch["sdf_label"]
+        weight = jnp.abs(batch["weight"])
+        ts = batch["ts"]
+    else:
+        coord = pool.coord[bidx.idx]
+        sdf_label = pool.sdf_label[bidx.idx]
+        weight = jnp.abs(pool.weight[bidx.idx])
+        ts = pool.ts[bidx.idx]
     # weight==0 marks dead rows (masked-out samples stored by the
     # block-append fast path) — drop them from the batch
     mask = bidx.mask & (weight > 0.0)
@@ -385,7 +398,8 @@ def mapping_loss(
 
     sem_loss = 0.0
     if semantic_on and out.sem_log_prob is not None:
-        sem_label = pool.sem_label[bidx.idx]
+        sem_label = (batch["sem_label"] if batch is not None
+                     else pool.sem_label[bidx.idx])
         labeled = sem_label >= 0 if freespace_label_on else sem_label > 0
         sem_loss = L.sem_nll_loss(
             out.sem_log_prob[::sem_label_decimation],
@@ -395,7 +409,8 @@ def mapping_loss(
 
     color_loss = 0.0
     if color_on and out.color is not None:
-        color_label = pool.color_label[bidx.idx]
+        color_label = (batch["color_label"] if batch is not None
+                       else pool.color_label[bidx.idx])
         surface = jnp.abs(sdf_label) < surface_sample_range_m
         color_loss = L.color_l1_loss(
             out.color, color_label, weight, mask & surface,
@@ -541,6 +556,7 @@ def make_train_loop(
 
     frozen = {"geo_mlp", "color_mlp", "sem_mlp"}
     dp_on = mesh is not None
+    pre_gather = n_iters <= 32
 
     def dp_key(key):
         if not dp_on:
@@ -618,10 +634,14 @@ def make_train_loop(
         contributions and the loop applies them all in one sort-based
         pass (accumulate_certainty_sorted)."""
         params, opt_state, pool, lf, use_new, lset = carry
-        kc, bidx, cnd, cnv = xs
+        if pre_gather:
+            kc, bidx, cnd, cnv, batch = xs
+        else:
+            kc, bidx, cnd, cnv = xs
+            batch = None
         (loss, aux), grads = jax.value_and_grad(mapping_loss, has_aux=True)(
             params, None, pool, bidx, qp, lf, key=kc, lset=lset,
-            cand=(cnd, cnv), **loss_kwargs)
+            cand=(cnd, cnv), batch=batch, **loss_kwargs)
         grads = freeze(grads)
         loss, grads = dp_mean((loss, grads))
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -663,7 +683,25 @@ def make_train_loop(
                                        use_new), dp_key(kc))
 
         bidxs, kcs = jax.vmap(draw)(keys[1:])            # [n_iters, bs]
-        coords_all = pool.coord[bidxs.idx.reshape(-1)]
+        flat_idx = bidxs.idx.reshape(-1)
+        coords_all = pool.coord[flat_idx]
+        if pre_gather:
+            # pre-gather every iteration's pool labels in one pass (labels
+            # are constant during the run; keeps [pool]-sized gathers out
+            # of the scan body). Skipped for the long init-frame loop,
+            # where n_iters * bs label copies would cost ~150 MB of HBM.
+            batches = {
+                "coord": coords_all.reshape(n_iters, bs, 3),
+                "sdf_label": pool.sdf_label[flat_idx].reshape(n_iters, bs),
+                "weight": pool.weight[flat_idx].reshape(n_iters, bs),
+                "ts": pool.ts[flat_idx].reshape(n_iters, bs),
+            }
+            if loss_kwargs.get("semantic_on") and pool.sem_label is not None:
+                batches["sem_label"] = pool.sem_label[flat_idx].reshape(
+                    n_iters, bs)
+            if loss_kwargs.get("color_on") and pool.color_label is not None:
+                batches["color_label"] = pool.color_label[flat_idx].reshape(
+                    n_iters, bs, pool.color_label.shape[-1])
         # chunk the probe: its ragged pair list lives in SMEM scalar-
         # prefetch (1 MB limit) and scales with the query count — ~200k
         # queries per kernel call is safely inside it (the init frame's
@@ -682,10 +720,11 @@ def make_train_loop(
         cvalid_all = jnp.concatenate(val_parts).reshape(
             n_iters, bs, cand_k)
 
+        xs = ((kcs, bidxs, cand_all, cvalid_all, batches) if pre_gather
+              else (kcs, bidxs, cand_all, cvalid_all))
         carry, (losses, contribs) = jax.lax.scan(
             one_local,
-            (lparams, lopt, pool, lf, use_new, lset),
-            (kcs, bidxs, cand_all, cvalid_all))
+            (lparams, lopt, pool, lf, use_new, lset), xs)
         lparams = carry[0]
 
         # one sort-based certainty/ts accumulation for the whole run

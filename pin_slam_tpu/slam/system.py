@@ -18,6 +18,7 @@ conditioning matters.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Optional
 
@@ -364,7 +365,7 @@ class PinSLAMSystem:
         # a no-op on state/pool counts.
         def frame_update(state, pool, train_pts, train_attr, train_n, T,
                          cur_ts, travel_dist, key, force_all_new,
-                         static_mask, do_map):
+                         static_mask, do_map, insert_cap=1 << 16):
             mask = ((jnp.arange(train_pts.shape[0]) < train_n)
                     & static_mask & do_map)
             key, ks = jax.random.split(key)
@@ -408,7 +409,7 @@ class PinSLAMSystem:
             state, new_ratio = npm.insert_points(
                 state, upd_pts, upd_mask, cur_ts, travel_dist,
                 resolution=c.voxel_size_m, local_window_dist=lwd,
-                force_all_new=force_all_new,
+                force_all_new=force_all_new, insert_cap=insert_cap,
                 maintain_btable=not self._use_join)
 
             frame_start = mp.append_start(pool, world.shape[0])
@@ -426,7 +427,16 @@ class PinSLAMSystem:
                 .astype(jnp.float32))
             return state, pool, key, new_ratio, new_obs_ratio
 
-        self._frame_update = jax.jit(frame_update)
+        # two static insert-cap variants: the INIT program (first frames /
+        # reboot, whole scenes arrive at once) accepts 64k new points per
+        # call; the STEADY program runs the same pipeline at 16k — a frame
+        # adds only a few thousand points, and the insert pipeline's cost
+        # scales with the static cap (probe gathers, block blends, table
+        # scatters). Overflow beyond the cap drops harmlessly: undetected
+        # novelty re-inserts on the following frames via the hash probe.
+        self._frame_update_init = jax.jit(frame_update)
+        self._frame_update = jax.jit(
+            functools.partial(frame_update, insert_cap=1 << 14))
         self._filter_pool = jax.jit(
             lambda pool, origin, key: mp.filter_pool(
                 pool, origin, c.window_radius, key))
@@ -842,8 +852,10 @@ class PinSLAMSystem:
                 # device array over the train cloud (rows < train_n);
                 # evals pull it on a cadence to score the filter
                 self.last_static_mask = static_mask
+            fu = (self._frame_update_init if host_force
+                  else self._frame_update)
             (self.state, self.pool, self.key, new_ratio,
-             new_obs_ratio) = self._frame_update(
+             new_obs_ratio) = fu(
                 self.state, self.pool, train_pts, train_attr, train_n,
                 T32_dev, jnp.int32(frame_id), td_dev, self.key,
                 jnp.bool_(system_rebooted), static_mask, do_map_dev)
@@ -859,6 +871,48 @@ class PinSLAMSystem:
                     self.pool, T32_dev[:3, 3], kf)
         if self._sync_timing:
             jax.block_until_ready(self.pool.count)
+
+        # ---- training dispatch (reference: pin_slam.py:370-390). In the
+        # default SLAM path it is dispatched BEFORE the frame's batched
+        # host pull: every host-side gate on the training path
+        # (lose-track, stop, adaptive iteration count) lags one frame —
+        # the same pattern the reboot check above already uses — so the
+        # ~35 ms tunnel completion-notification of the pull overlaps the
+        # device executing the train program instead of gating it.
+        # The device-side do_map gate (frame_update) stays exact.
+        def run_training():
+            did_map = dispatched_map and (
+                host_force or (not self.lose_track and not stop_prev))
+            self.last_did_map = did_map
+            if frame_id % c.mapping_freq_frame == 0 and did_map:
+                cur_iters = (c.iters * c.init_iter_ratio
+                             if (frame_id == 0 or system_rebooted)
+                             else c.iters)
+                if self.stop_status:
+                    cur_iters = max(1, cur_iters - 10)
+                cur_iters = max(1, cur_iters + self.adaptive_iter_offset)
+                if self.post_loop_iter_boost_pending:
+                    # re-converge the SDF around just-deformed geometry
+                    cur_iters += self.post_loop_iter_boost_pending
+                    self.post_loop_iter_boost_pending = 0
+
+                if (frame_id - self.reboot_ts) == c.freeze_after_frame:
+                    self.decoder_freezed = True
+
+                # local bundle adjustment (reference: pin_slam.py:388-389)
+                if ba_due:
+                    from pin_slam_tpu.slam.ba import run_bundle_adjustment
+                    run_bundle_adjustment(self, frame_id)
+
+                self.train(cur_iters, frame_id)
+
+        ba_due = (c.track_on and c.ba_freq_frame > 0
+                  and (frame_id + 1) % c.ba_freq_frame == 0)
+        # BA needs this frame's pulled pose; sync-timing mode keeps the
+        # legacy order so the stage buckets stay attributable
+        lag_pull = dispatched_map and not ba_due and not self._sync_timing
+        if lag_pull:
+            run_training()
 
         # ---- THE one batched host pull of the frame
         pull = []
@@ -908,32 +962,8 @@ class PinSLAMSystem:
             loop_hook(frame_id)
         t3 = time.time()
 
-        # host mirror of the device-side do_map gate
-        did_map = dispatched_map and (
-            host_force or (not self.lose_track and not stop_prev))
-        self.last_did_map = did_map
-        # ---- training
-        if frame_id % c.mapping_freq_frame == 0 and did_map:
-            cur_iters = (c.iters * c.init_iter_ratio
-                         if (frame_id == 0 or system_rebooted) else c.iters)
-            if self.stop_status:
-                cur_iters = max(1, cur_iters - 10)
-            cur_iters = max(1, cur_iters + self.adaptive_iter_offset)
-            if self.post_loop_iter_boost_pending:
-                # re-converge the SDF around the just-deformed geometry
-                cur_iters += self.post_loop_iter_boost_pending
-                self.post_loop_iter_boost_pending = 0
-
-            if (frame_id - self.reboot_ts) == c.freeze_after_frame:
-                self.decoder_freezed = True
-
-            # local bundle adjustment (reference: pin_slam.py:388-389)
-            if (c.track_on and c.ba_freq_frame > 0
-                    and (frame_id + 1) % c.ba_freq_frame == 0):
-                from pin_slam_tpu.slam.ba import run_bundle_adjustment
-                run_bundle_adjustment(self, frame_id)
-
-            self.train(cur_iters, frame_id)
+        if not lag_pull:
+            run_training()
         if self._sync_timing:
             jax.block_until_ready(self.params["geo_features"])
         t5 = time.time()

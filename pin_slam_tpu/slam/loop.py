@@ -198,12 +198,32 @@ class LoopPgoManager:
         if reg_valid:
             pose_refined = np.asarray(res.pose, np.float64)
             pose_refined[:3, 3] += anchor
+            # refinement-deviation gate: the registration may only move the
+            # pose within the loop detector's own uncertainty budget — the
+            # drift-scaled radius that qualified the candidate (local loops
+            # start from the CURRENT estimate, so the true correction is
+            # bounded by the drift; global candidates by the drift-ratio
+            # search radius). A refinement that slid further latched onto
+            # aliased geometry (e.g. a symmetric wall segment): accepting
+            # it warps the whole trajectory through PGO, which the graph
+            # absorbs with low residual — so it must be rejected HERE.
+            dev = float(np.linalg.norm(pose_refined[:3, 3]
+                                       - pose_init[:3, 3]))
+            dev_budget = max(
+                self.pgm.drift_radius * c.loop_dist_drift_ratio_thre,
+                4.0 * c.voxel_size_m)
+            if dev > dev_budget:
+                if not self.silence:
+                    print(f"loop refinement rejected: moved {dev:.2f} m "
+                          f"> budget {dev_budget:.2f} m")
+                reg_valid = False
+        if reg_valid:
             loop_transform = np.linalg.inv(
                 sysm.pgo_poses[loop_id]) @ pose_refined
-            self.pgm.add_loop_factor(
+            reg_valid = self.pgm.add_loop_factor(
                 frame_id, loop_id, loop_transform,
                 cov=np.asarray(res.cov) if c.use_reg_cov_mat else None)
-            reg_valid = self.pgm.optimize_pose_graph()
+            reg_valid = reg_valid and self.pgm.optimize_pose_graph()
 
         if not reg_valid:
             # restore the hash anchored at the current frame
@@ -218,6 +238,13 @@ class LoopPgoManager:
         self.pgm.loop_edges.append(np.array([loop_id, frame_id]))
         self.pgm.loop_trans.append(loop_transform)
         pose_diff = self.pgm.get_pose_diff()                 # [T,4,4]
+        if not self.silence:
+            dmag = np.linalg.norm(pose_diff[: frame_id + 1, :3, 3], axis=1)
+            print(f"  reg: residual {float(res.residual_cm):.2f} cm, "
+                  f"valid {int(res.valid_count)}, moved "
+                  f"{float(np.linalg.norm(pose_refined[:3, 3] - pose_init[:3, 3])):.3f} m; "
+                  f"pgo diff |t| max {dmag.max():.3f} m "
+                  f"(argmax {int(dmag.argmax())}), cur {dmag[frame_id]:.3f} m")
         diffs = jnp.asarray(pose_diff, jnp.float32)
         sysm.state = self._deform(sysm.state, diffs)
         sysm.state = self._rehash(sysm.state, jnp.int32(frame_id))

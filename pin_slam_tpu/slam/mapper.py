@@ -674,8 +674,13 @@ def make_train_loop(
         # candidates in ONE kernel call (measured 3-4x cheaper than
         # n_iters separate probes on v5e); each scan iteration re-ranks
         # its cached candidates to the exact top-k. The same candidates
-        # serve the eikonal term's six shifted queries.
-        cand_k = max(qp.nn_k, 12)
+        # serve the eikonal term's six shifted queries. k = nn_k + 2
+        # (not nn_k + 6): the kernel's top-k merge cost is linear in k
+        # (measured 24.7 vs 29.1 ms per 196k-query probe for k 8 vs 12);
+        # the slack columns only matter to the eikonal re-rank at +-eps
+        # shifts, where 2 spares cover any neighbor-order change for
+        # eps << voxel
+        cand_k = qp.nn_k + 2
 
         def draw(k):
             kb, kc = jax.random.split(k)

@@ -115,6 +115,7 @@ class PoseGraphManager:
 
         self.last_loop_idx = 0
         self.min_loop_idx = int(1e9)
+        self.last_error = 0.0
         self.pgo_count = 0
         self.drift_radius = 0.0
         self.loop_edges: List[np.ndarray] = []
@@ -140,12 +141,28 @@ class PoseGraphManager:
 
     def add_loop_factor(self, cur: int, loop: int, T_rel: np.ndarray,
                         cov: Optional[np.ndarray] = None) -> bool:
-        """T_rel = T_loop<-cur. Optimizes and applies the error-budget
-        outlier rejection (reference: utils/pgo.py:144-188); returns
-        acceptance."""
+        """T_rel = T_loop<-cur. Applies the PRE-optimization error-budget
+        outlier rejection (reference: utils/pgo.py:144-188): the graph
+        error at the CURRENT estimates with the new edge added must stay
+        within last_error + frame_gap * pgo_error_thre_frame. Checking
+        before the solve matters — a wrong loop edge can be absorbed by
+        warping the whole trajectory, so the post-solve error of a bad
+        graph is not discriminative. Removes the edge and returns False
+        on rejection."""
         self.edges.append(dict(
             i=loop, j=cur, Z=np.asarray(T_rel, np.float64),
             sqrt_w=self._sqrt_w(cov), is_loop=True))
+        n = max(self.nodes.keys()) + 1
+        poses = np.stack([self.nodes[i] for i in range(n)])
+        cur_error = self.total_error(poses)
+        budget = self.last_error + \
+            (cur - self.last_loop_idx) * self.error_thre_frame
+        if cur_error > budget:
+            self.edges.pop()
+            if not self.silence:
+                print(f"loop edge rejected: graph error {cur_error:.1f} "
+                      f"> budget {budget:.1f}")
+            return False
         return True
 
     def estimate_drift(self, travel_dist, cur_id: int,
@@ -264,13 +281,15 @@ class PoseGraphManager:
                 break
 
         final_err = self.total_error(poses)
-        # loop outlier rejection by error budget (reference :174-188)
+        # post-solve divergence backstop (the discriminative pre-solve
+        # budget lives in add_loop_factor, reference :174-188)
         if final_err > self.error_thre_frame * n and final_err > init_err:
             if self.edges and self.edges[-1]["is_loop"]:
                 self.edges.pop()
             if not self.silence:
                 print(f"pgo rejected: error {final_err:.1f}")
             return False
+        self.last_error = final_err
 
         self.init_poses = np.stack([self.nodes[i] for i in range(n)])
         self.pgo_poses = poses
@@ -356,7 +375,13 @@ class PoseGraphManager:
             T_rel = np.linalg.inv(odom_poses[i]) @ odom_poses[i + 1]
             self.add_odometry_factor(i + 1, i, T_rel)
         for (edge, T) in zip(self.loop_edges, self.loop_trans):
-            self.add_loop_factor(int(edge[1]), int(edge[0]), T)
+            # replayed edges were already accepted online — append
+            # directly, skipping the online pre-optimization error budget
+            # (a replay against a different/drifted odometry would wrongly
+            # re-reject known-good loops)
+            self.edges.append(dict(
+                i=int(edge[0]), j=int(edge[1]), Z=np.asarray(T, np.float64),
+                sqrt_w=self._sqrt_w(None), is_loop=True))
         self.optimize_pose_graph()
         return self.pgo_poses
 

@@ -904,7 +904,20 @@ class PinSLAMSystem:
                     from pin_slam_tpu.slam.ba import run_bundle_adjustment
                     run_bundle_adjustment(self, frame_id)
 
-                self.train(cur_iters, frame_id)
+                # when training is dispatched BEFORE the pull, the host
+                # travel_dist[frame_id] is still unset (0) — the window
+                # lower bound would collapse to ts_lo=0 and the training
+                # local set would never age out old geometry. At a revisit
+                # that keeps the drift-offset duplicates (re-inserted by
+                # the re-observation rule) visible to the NEXT frame's
+                # tracker, whose registration then blurs between the two
+                # wall copies — a positive-feedback drift runaway (measured
+                # 0.95 m ATE at frame 145 vs 2.6 cm with the correct
+                # window). select_pose already extended the travel array
+                # on device, so pass that — exact, still zero host syncs.
+                self.train(cur_iters, frame_id,
+                           td_dev=td_dev if lag_pull else None,
+                           T_dev=T32_dev if lag_pull else None)
 
         ba_due = (c.track_on and c.ba_freq_frame > 0
                   and (frame_id + 1) % c.ba_freq_frame == 0)
@@ -975,14 +988,25 @@ class PinSLAMSystem:
         self.cur_frame = frame_id + 1
         return self.cur_pose_ref.copy()
 
-    def train(self, iters: int, frame_id: int):
+    def train(self, iters: int, frame_id: int, td_dev=None, T_dev=None):
         """Run `iters` mapping iterations with a fresh optimizer (the
         reference creates a new Adam per mapping() call, utils/tools.py:153).
         The whole run is one jitted lax.scan program, cached per
-        (iters, decoder-frozen) variant."""
+        (iters, decoder-frozen) variant.
+
+        `td_dev`/`T_dev` carry the DEVICE-side travel-dist array and pose
+        when training is dispatched before the frame's host pull (the host
+        mirrors are one frame stale at that point — see process_frame)."""
         if not self._use_join:
             self.opt_state = self.optimizer.init(self.params)
         lf = self._lf(frame_id)
+        if td_dev is not None:
+            lf = lf._replace(travel_dist=td_dev)
+        if T_dev is not None and lf.sensor_origins is not None:
+            # proj-correction ray origins: the host pose row for this
+            # frame is also stale pre-pull
+            lf = lf._replace(sensor_origins=lf.sensor_origins
+                             .at[frame_id].set(T_dev[:3, 3]))
         use_new = jnp.bool_(not (self.lose_track or self.stop_status))
         loop = self._get_train_loop(iters, not self.decoder_freezed)
         # join mode: the lset build is fused into the loop program

@@ -131,6 +131,12 @@ class TestPoseGraph:
 
     def test_loop_correction(self):
         cfg = Config()
+        # the synthetic drift here (9 deg accumulated yaw over 40 frames)
+        # is far beyond the reference's per-frame error budget — raise it
+        # so the pre-optimization outlier rejection (reference
+        # utils/pgo.py:174-188) admits this deliberately-extreme edge and
+        # the solver math itself is what's under test
+        cfg.pgo_error_thre_frame = 20000.0
         cfg.finalize()
         gt, drift = self._square_with_drift()
         pgm = PoseGraphManager(cfg)
@@ -139,7 +145,7 @@ class TestPoseGraph:
         for i in range(1, 41):
             pgm.add_odometry_factor(
                 i, i - 1, np.linalg.inv(drift[i - 1]) @ drift[i])
-        pgm.add_loop_factor(40, 0, np.linalg.inv(gt[0]) @ gt[40])
+        assert pgm.add_loop_factor(40, 0, np.linalg.inv(gt[0]) @ gt[40])
         assert pgm.optimize_pose_graph()
         ate_before = np.sqrt(
             ((drift[:, :3, 3] - gt[:, :3, 3]) ** 2).sum(-1).mean())
@@ -148,6 +154,35 @@ class TestPoseGraph:
         assert ate_after < ate_before * 0.1
         diff = pgm.get_pose_diff()
         np.testing.assert_allclose(diff[0], np.eye(4), atol=1e-4)
+
+    def test_wrong_loop_edge_rejected(self):
+        """A loop edge contradicting the trajectory by meters must be
+        rejected BEFORE optimization (reference utils/pgo.py:174-188):
+        after the solve, a wrong edge is absorbed by warping the whole
+        trajectory with low residual, so only the pre-solve graph error
+        is discriminative."""
+        cfg = Config()
+        cfg.finalize()
+        gt, drift = self._square_with_drift(yaw_bias=0.0)  # perfect odom
+        pgm = PoseGraphManager(cfg)
+        for i in range(41):
+            pgm.add_frame_node(i, drift[i])
+        for i in range(1, 41):
+            pgm.add_odometry_factor(
+                i, i - 1, np.linalg.inv(drift[i - 1]) @ drift[i])
+        bad = np.linalg.inv(gt[0]) @ gt[40]
+        yaw = 0.175                           # 10 deg rotational error:
+        c_, s_ = np.cos(yaw), np.sin(yaw)     # rot_std 0.01 deg makes the
+        Rz = np.eye(4)                        # budget rotation-dominated,
+        Rz[:2, :2] = [[c_, -s_], [s_, c_]]    # same as the reference's
+        bad = bad @ Rz                        # GTSAM noise model
+        bad[:3, 3] += [2.3, 0.0, 0.0]
+        assert not pgm.add_loop_factor(40, 0, bad)
+        # the bad edge must be gone: poses unchanged by a later solve
+        assert not any(e["is_loop"] for e in pgm.edges)
+        good = np.linalg.inv(gt[0]) @ gt[40]
+        assert pgm.add_loop_factor(40, 0, good)
+        assert pgm.optimize_pose_graph()
 
     def test_drift_estimate(self):
         cfg = Config()

@@ -90,6 +90,11 @@ def main():
     cfg.frame_point_cap = 1 << 15
     cfg.source_point_cap = 1 << 13
     cfg.max_frames = 256
+    # local-map set capacity sized to the workload like the caps above
+    # (~50k windowed points at steady state): the [cap]-sized local ops
+    # (Adam, feature gather/scatter-back, certainty merge) are pure
+    # padding work beyond the actual count
+    cfg.local_set_cap = 1 << 16
     cfg.finalize()
     cfg.pool_capacity = 4_000_000
 
@@ -116,7 +121,10 @@ def main():
         mapped.append(system.last_did_map)
         print(f"[bench] frame {fid}: {dt*1e3:.1f} ms "
               f"(mapped={system.last_did_map}, "
-              f"tracked={not system.lose_track})", file=sys.stderr)
+              f"tracked={not system.lose_track}, "
+              f"pull={getattr(system, 'last_pull_block', 0)*1e3:.0f}ms, "
+              f"gn_iters={getattr(system, 'last_track_iters', -1)})",
+              file=sys.stderr)
     t_end = time.time()
 
     # pipelined steady-state throughput over the full-work frames after

@@ -543,6 +543,7 @@ def query_neighbors_join(
     max_dist2: float,
     resolution: float,
     local_ids: bool = True,
+    qperm=None,   # [N(padded)] precomputed query-sort permutation
 ) -> QueryNeighbors:
     """Neighbor search via the tiled spatial-join kernel over a prebuilt
     LocalSet (ops/knn_join.py). The local-map time/radius filters are baked
@@ -561,7 +562,7 @@ def query_neighbors_join(
         q = jnp.concatenate(
             [q, jnp.full((npad, 3), kj.PAD, q.dtype)], axis=0)
     li, d2, cnt = kj.knn_join(q, lset.pts[:-1], k=nn_k, max_dist2=max_dist2,
-                              resolution=resolution)
+                              resolution=resolution, qperm=qperm)
     li, d2, cnt = li[:n], d2[:n], cnt[:n]
     valid = li >= 0
     if local_ids:

@@ -261,6 +261,10 @@ def knn_join(
     tq: int = TQ,
     tl: int = TL,
     row_cap: int = ROW_CAP,
+    qperm: Optional[jnp.ndarray] = None,  # [N] precomputed query sort
+    # permutation (a caller tracking a rigidly-moving cloud can sort once:
+    # the tile bboxes are recomputed from the true points every call, so
+    # results stay exact — a slightly stale order only loosens the bboxes)
 ):
     """Exact radius-bounded k-NN of qpts against the local set.
 
@@ -278,8 +282,11 @@ def knn_join(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    qvalid = jnp.abs(qpts[:, 0]) < 1e8
-    qsi = _sort_by_morton(qpts, qvalid, resolution * 4.0)
+    if qperm is None:
+        qvalid = jnp.abs(qpts[:, 0]) < 1e8
+        qsi = _sort_by_morton(qpts, qvalid, resolution * 4.0)
+    else:
+        qsi = qperm
     qs = qpts[qsi]
 
     pid_tab, bbd_tab = _build_pair_rows(qs, lset_pts, max_dist2, tq, tl,

@@ -239,8 +239,20 @@ def query_decode(
 
     vec = diff
     if qp.after_pgo:
+        # offset rotation by stored orientations — semantically always on
+        # (reference gates on after_pgo, model/neural_points.py:645-648,
+        # which forces a mid-run program rebuild at the first closure).
+        # Here the gate is a TRACED device scalar: until the first elastic
+        # deformation every quaternion is identity (w=1, xyz=0), so the
+        # cond skips the [N,k,4] gather + rotate at runtime (measured
+        # ~0.9 ms per training iteration) with NO recompile when the
+        # first closure flips it.
         quat_src = state.orientations if lset is None else lset.quat
-        vec = npm.quat_rotate(quat_src[qn.idx], vec)
+        deformed = jnp.any(quat_src[:, 1:4] != 0.0)
+        vec = jax.lax.cond(
+            deformed,
+            lambda v: npm.quat_rotate(quat_src[qn.idx], v),
+            lambda v: v, vec)
     vec = jnp.where(qn.valid[..., None], vec, 0.0)
 
     feats = _maybe_layer_norm(geo_features[qn.idx], qp.layer_norm_on)
@@ -410,8 +422,12 @@ def decode_sdf_candidates(
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-15)
     vec = jnp.where(use[..., None], diff, 0.0)
     if qp.after_pgo and lset.quat is not None:
-        vec = npm_.quat_rotate(lset.quat[ci], vec)
-        vec = jnp.where(use[..., None], vec, 0.0)
+        # traced identity-skip — see query_decode
+        vec = jax.lax.cond(
+            jnp.any(lset.quat[:, 1:4] != 0.0),
+            lambda v: jnp.where(use[..., None],
+                                npm_.quat_rotate(lset.quat[ci], v), 0.0),
+            lambda v: v, vec)
     feats = _maybe_layer_norm(geo_features[ci], qp.layer_norm_on)
     gv = jnp.concatenate([feats, vec], axis=-1)
     if qp.weighted_first:
@@ -491,8 +507,13 @@ def numerical_grad_shared_join(
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-15)
     vec = jnp.where(use[..., None], diff, 0.0)
     if qp.after_pgo and lset.quat is not None:
-        vec = npm_.quat_rotate(lset.quat[qn.idx][None], vec)
-        vec = jnp.where(use[..., None], vec, 0.0)
+        # traced identity-skip — see query_decode
+        vec = jax.lax.cond(
+            jnp.any(lset.quat[:, 1:4] != 0.0),
+            lambda v: jnp.where(
+                use[..., None],
+                npm_.quat_rotate(lset.quat[qn.idx][None], v), 0.0),
+            lambda v: v, vec)
     gv = jnp.concatenate(
         [jnp.broadcast_to(feats[None], (6, m, cand_k, feats.shape[-1])),
          vec], axis=-1)

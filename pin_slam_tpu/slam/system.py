@@ -936,10 +936,13 @@ class PinSLAMSystem:
             pull.append(new_obs_ratio)
         if dispatched_map and pool_cadence:
             pull.append(self.state.count)
+        t_pull0 = time.time()
         vals = list(jax.device_get(tuple(pull))) if pull else []
+        self.last_pull_block = time.time() - t_pull0
         if tracked:
             valid, iters, pose_d = (
                 bool(vals[0]), int(vals[1]), vals[2])
+            self.last_track_iters = iters
             vals = vals[3:]
             if not valid and iters < 10:
                 # keep guess (reference tracker.py:221-223)

@@ -228,14 +228,46 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         src_count = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1)
         min_ratio = 0.15 if loop_reg else tp.min_valid_ratio
         use_cache = (lset is not None) and not use_color
-        src_rmax = jnp.max(jnp.where(src_mask,
-                                     jnp.linalg.norm(src, axis=1), 0.0))
+        # movement bound for candidate-cache reuse: the p80 source radius
+        # instead of the max — the max is set by a handful of range-limit
+        # returns (80 m on KITTI scans) and forced a re-probe on nearly
+        # every GN iteration (a rotation of 1e-3 rad already "moves" 0.16 m
+        # at 80 m). Points beyond the percentile see a slightly staler
+        # candidate set between re-probes; the re-rank still picks the
+        # exact top-k WITHIN the cached candidates and the GM weights
+        # bound any residual influence.
+        r_sorted = jnp.sort(jnp.where(src_mask,
+                                      jnp.linalg.norm(src, axis=1), 0.0))
+        i80 = jnp.clip(S - src_count + (src_count * 8) // 10, 0, S - 1)
+        src_rq = r_sorted[i80]
+
+        if lset is not None:
+            # one Morton sort per track: the source cloud moves rigidly by
+            # centimeters between GN iterations, so the iteration-0 spatial
+            # order stays coherent; knn_join recomputes tile bboxes from
+            # the true transformed points every probe, so results are exact
+            from pin_slam_tpu.ops import knn_join as kj
+            pad0 = (-S) % kj.TQ
+
+            def padq(p):
+                return (jnp.concatenate(
+                    [p, jnp.full((pad0, 3), kj.PAD, p.dtype)]) if pad0
+                    else p)
+            q0 = jnp.where(src_mask[:, None],
+                           src @ init_T[:3, :3].T + init_T[:3, 3]
+                           + anchor, kj.PAD)
+            qperm0 = kj._sort_by_morton(
+                padq(jax.lax.stop_gradient(q0)),
+                jnp.concatenate([src_mask, jnp.zeros(pad0, bool)])
+                if pad0 else src_mask, qp.resolution * 4.0)
+        else:
+            qperm0 = None
 
         def probe(pts_abs):
             qn = npm.query_neighbors_join(
                 None, pts_abs, lset, nn_k=CAND_K,
                 max_dist2=qp.join_max_dist2,
-                resolution=qp.resolution, local_ids=True)
+                resolution=qp.resolution, local_ids=True, qperm=qperm0)
             return qn.idx, qn.valid
 
         def body(carry):
@@ -250,7 +282,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
                 dt = jnp.linalg.norm(T[:3, 3] - probe_T[:3, 3])
                 ang = rotation_angle(T[:3, :3] @ probe_T[:3, :3].T)
                 moved = dt + 2.0 * jnp.sin(
-                    jnp.minimum(ang * 0.5, jnp.pi / 2)) * src_rmax
+                    jnp.minimum(ang * 0.5, jnp.pi / 2)) * src_rq
                 need = (i == 0) | (moved > REPROBE_FRAC * qp.resolution)
                 cand, cvalid = jax.lax.cond(
                     need, lambda: probe(pts + anchor),

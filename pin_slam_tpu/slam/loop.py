@@ -251,8 +251,11 @@ class LoopPgoManager:
         sysm.pool = self._transform_pool(sysm.pool, diffs)
         sysm.params["geo_features"] = sysm.state.geo_features
         # the deformation moved map points: the cached post-train local
-        # set (tracker reuse) is stale until the next training run
+        # set (tracker reuse) is stale until the next training run, and
+        # orientations are non-identity from here on (the quat-carrying
+        # program variants take over; compiled once, cache-persisted)
         sysm._cur_lset = None
+        sysm._map_deformed = True
         # schedule the post-closure training boost (config
         # post_loop_iter_boost): re-sharpen the SDF around the deformed
         # region with the now-consistent transformed pool

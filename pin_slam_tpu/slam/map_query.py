@@ -153,6 +153,31 @@ def rerank_candidates(
         nn_count=jnp.sum(cvalid, axis=-1).astype(jnp.int32))
 
 
+def pack_lset_rows(lset, geo_features: jnp.ndarray) -> jnp.ndarray:
+    """Pack per-row attributes [pts(3) | quat(4, only when deformed) |
+    feats(F)] into one array. TPU random-gather cost is per ROW fetched,
+    independent of row width (see MapState.btable notes), so consumers
+    gather this ONCE per query instead of 2-3 separate gathers — and the
+    backward pass emits ONE scatter-add instead of one per gathered
+    array. Positions/quats take no gradient (stop_gradient at the
+    consumer), features do."""
+    parts = [lset.pts]
+    if lset.quat is not None:
+        parts.append(lset.quat)
+    parts.append(geo_features)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _unpack_rows(g: jnp.ndarray, has_quat: bool):
+    """Split a pack_lset_rows gather [..., 3(+4)+F] -> (pos, quat, feats);
+    pos/quat are stop_gradient'd (map geometry takes no training grad)."""
+    pos = jax.lax.stop_gradient(g[..., :3])
+    if has_quat:
+        quat = jax.lax.stop_gradient(g[..., 3:7])
+        return pos, quat, g[..., 7:]
+    return pos, None, g[..., 3:]
+
+
 def query_decode(
     state: npm.MapState,
     geo_features: jnp.ndarray,       # [C+1, F] (trainable; may differ from state's)
@@ -169,6 +194,7 @@ def query_decode(
     color_channel: int = 0,
     lset=None,                       # ops.knn_join.LocalSet (spatial join)
     cand=None,                       # ([N, K] ids, [N, K] valid) cached
+    cand_pack=None,                  # [L+1, 3(+4)+F] pack_lset_rows array
 ) -> QueryOut:
     """Query k-NN neural points and decode SDF (and optionally color /
     semantics) at the query positions. Differentiable w.r.t. qpts,
@@ -227,9 +253,16 @@ def query_decode(
             max_dist2=qp.max_dist2, probe_mode=probe, **kwargs,
         )
 
-    # differentiable distance & offsets computed in the anchored frame
-    pos_src = state.positions if lset is None else lset.pts
-    pos = pos_src[qn.idx]
+    # differentiable distance & offsets computed in the anchored frame.
+    # With cand_pack, (pos, quat, feats) come from ONE row gather.
+    quat_g = None
+    if cand_pack is not None:
+        g = cand_pack[qn.idx]                            # [N, k, 3(+4)+F]
+        pos, quat_g, feats_raw = _unpack_rows(
+            g, lset is not None and lset.quat is not None)
+    else:
+        pos_src = state.positions if lset is None else lset.pts
+        pos = pos_src[qn.idx]
     pos_a = pos if anchor is None else pos - anchor
     diff = qpts[:, None, :] - pos_a                      # [N, k, 3]
     dist2 = jnp.sum(diff * diff, axis=-1)
@@ -240,22 +273,25 @@ def query_decode(
     vec = diff
     if qp.after_pgo:
         # offset rotation by stored orientations — semantically always on
-        # (reference gates on after_pgo, model/neural_points.py:645-648,
-        # which forces a mid-run program rebuild at the first closure).
-        # Here the gate is a TRACED device scalar: until the first elastic
-        # deformation every quaternion is identity (w=1, xyz=0), so the
-        # cond skips the [N,k,4] gather + rotate at runtime (measured
-        # ~0.9 ms per training iteration) with NO recompile when the
-        # first closure flips it.
-        quat_src = state.orientations if lset is None else lset.quat
-        deformed = jnp.any(quat_src[:, 1:4] != 0.0)
-        vec = jax.lax.cond(
-            deformed,
-            lambda v: npm.quat_rotate(quat_src[qn.idx], v),
-            lambda v: v, vec)
+        # (reference gates on after_pgo, model/neural_points.py:645-648).
+        # Quaternions are identity until the first elastic deformation, so
+        # the hot lset paths skip the [N,k,4] gather + rotate STATICALLY:
+        # the system builds the local set with quat=None until the first
+        # deformation (host-known event) and the post-closure retrace is a
+        # one-time cached compile. A traced lax.cond was measured to break
+        # XLA's decode fusion and cost as much as the gather it skipped.
+        if quat_g is not None:
+            vec = npm.quat_rotate(quat_g, vec)
+        elif cand_pack is None:
+            quat_src = state.orientations if lset is None else lset.quat
+            if quat_src is not None:
+                vec = npm.quat_rotate(quat_src[qn.idx], vec)
     vec = jnp.where(qn.valid[..., None], vec, 0.0)
 
-    feats = _maybe_layer_norm(geo_features[qn.idx], qp.layer_norm_on)
+    if cand_pack is not None:
+        feats = _maybe_layer_norm(feats_raw, qp.layer_norm_on)
+    else:
+        feats = _maybe_layer_norm(geo_features[qn.idx], qp.layer_norm_on)
     geo_vec = jnp.concatenate([feats, vec], axis=-1)     # [N, k, F+3]
 
     if lset is None:
@@ -383,17 +419,24 @@ def decode_sdf_candidates(
     cvalid: jnp.ndarray,         # [N, K]
     qp: QueryParams,
     with_std: bool = False,
+    pack=None,                   # [L+1, 3(+4)+F] pack_lset_rows array
 ):
     """SDF decode from a CACHED candidate set (exact top-k re-ranking by
     true distance). Used by the tracker to skip re-probing while the pose
     moves less than a fraction of a voxel between GN iterations.
     Differentiable w.r.t. qpts_abs. Returns (sdf [N], nn_count [N],
-    std or None)."""
+    std or None). With `pack` (built once per track — features are fixed
+    during registration), pos/quat/feats come from one row gather."""
     from pin_slam_tpu.models import neural_points as npm_
 
     K = cand.shape[1]
     ci = jnp.where(cvalid, cand, lset.cap)
-    pos = lset.pts[ci]                                  # [N, K, 3]
+    quat_g = None
+    if pack is not None:
+        g = pack[ci]                                    # [N, K, 3(+4)+F]
+        pos, quat_g, feats_raw = _unpack_rows(g, lset.quat is not None)
+    else:
+        pos = lset.pts[ci]                              # [N, K, 3]
     diff = qpts_abs[:, None, :] - pos
     d2 = jnp.sum(diff * diff, axis=-1)
     use = cvalid & (d2 <= qp.join_max_dist2)
@@ -422,13 +465,13 @@ def decode_sdf_candidates(
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-15)
     vec = jnp.where(use[..., None], diff, 0.0)
     if qp.after_pgo and lset.quat is not None:
-        # traced identity-skip — see query_decode
-        vec = jax.lax.cond(
-            jnp.any(lset.quat[:, 1:4] != 0.0),
-            lambda v: jnp.where(use[..., None],
-                                npm_.quat_rotate(lset.quat[ci], v), 0.0),
-            lambda v: v, vec)
-    feats = _maybe_layer_norm(geo_features[ci], qp.layer_norm_on)
+        vec = npm_.quat_rotate(
+            quat_g if quat_g is not None else lset.quat[ci], vec)
+        vec = jnp.where(use[..., None], vec, 0.0)
+    if pack is not None:
+        feats = _maybe_layer_norm(feats_raw, qp.layer_norm_on)
+    else:
+        feats = _maybe_layer_norm(geo_features[ci], qp.layer_norm_on)
     gv = jnp.concatenate([feats, vec], axis=-1)
     if qp.weighted_first:
         fused = jnp.sum(gv * w[..., None], axis=1)
@@ -448,6 +491,7 @@ def numerical_grad_shared_join(
     qp: QueryParams,
     cand_k: int = 12,
     cand=None,                   # optional cached ([M, K] ids, [M, K] valid)
+    cand_pack=None,              # [L+1, 3(+4)+F] pack_lset_rows array
 ):
     """Two-sided numerical SDF gradient sharing ONE k=12 candidate join
     across the six +-eps shifted queries (reference semantics:
@@ -456,7 +500,9 @@ def numerical_grad_shared_join(
     distance with the radius bound), so for eps << voxel size the result
     matches the full re-query while costing one join instead of six.
     With `cand`, even that one join is skipped (the training loop passes
-    the batch's cached per-frame candidates).
+    the batch's cached per-frame candidates); with `cand_pack`,
+    (pos, quat, feats) come from one row gather whose backward merges
+    with the main decode's feature scatter.
 
     Returns grad [M, 3]; differentiable w.r.t. geo_features/geo_mlp."""
     from pin_slam_tpu.models import neural_points as npm_
@@ -473,8 +519,14 @@ def numerical_grad_shared_join(
             None, jax.lax.stop_gradient(qpts), lset, nn_k=cand_k,
             max_dist2=qp.join_max_dist2, resolution=qp.resolution,
             local_ids=True)
-    pos = lset.pts[qn.idx]                              # [M, 12, 3]
-    feats = _maybe_layer_norm(geo_features[qn.idx], qp.layer_norm_on)
+    quat_g = None
+    if cand_pack is not None:
+        g = cand_pack[qn.idx]
+        pos, quat_g, feats_raw = _unpack_rows(g, lset.quat is not None)
+        feats = _maybe_layer_norm(feats_raw, qp.layer_norm_on)
+    else:
+        pos = lset.pts[qn.idx]                          # [M, 12, 3]
+        feats = _maybe_layer_norm(geo_features[qn.idx], qp.layer_norm_on)
 
     shifts = jnp.array(
         [[eps, 0, 0], [-eps, 0, 0], [0, eps, 0],
@@ -507,13 +559,10 @@ def numerical_grad_shared_join(
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-15)
     vec = jnp.where(use[..., None], diff, 0.0)
     if qp.after_pgo and lset.quat is not None:
-        # traced identity-skip — see query_decode
-        vec = jax.lax.cond(
-            jnp.any(lset.quat[:, 1:4] != 0.0),
-            lambda v: jnp.where(
-                use[..., None],
-                npm_.quat_rotate(lset.quat[qn.idx][None], v), 0.0),
-            lambda v: v, vec)
+        q_n = (quat_g if quat_g is not None
+               else lset.quat[qn.idx])
+        vec = npm_.quat_rotate(q_n[None], vec)
+        vec = jnp.where(use[..., None], vec, 0.0)
     gv = jnp.concatenate(
         [jnp.broadcast_to(feats[None], (6, m, cand_k, feats.shape[-1])),
          vec], axis=-1)

@@ -307,9 +307,14 @@ def mapping_loss(
     # block-append fast path) — drop them from the batch
     mask = bidx.mask & (weight > 0.0)
 
+    # one packed row gather serves the main decode AND the eikonal term's
+    # shared-candidate queries: pos/quat/feats fetched together, backward
+    # = a single merged feature scatter (see mq.pack_lset_rows)
+    cand_pack = (mq.pack_lset_rows(lset, params["geo_features"])
+                 if (cand is not None and lset is not None) else None)
     out = mq.query_decode(
         state, params["geo_features"], params["geo_mlp"], coord, qp,
-        lf=lf, lset=lset, cand=cand,
+        lf=lf, lset=lset, cand=cand, cand_pack=cand_pack,
         color_features=params.get("color_features"),
         color_mlp=params.get("color_mlp") if color_on else None,
         sem_mlp=params.get("sem_mlp") if semantic_on else None,
@@ -365,7 +370,8 @@ def mapping_loss(
                 numerical_grad_eps, qp,
                 cand=None if cand is None else (
                     cand[0][::gradient_decimation],
-                    cand[1][::gradient_decimation]))
+                    cand[1][::gradient_decimation]),
+                cand_pack=cand_pack)
         else:
             # full shifted queries (reference semantics,
             # utils/mapper.py:986-1036)

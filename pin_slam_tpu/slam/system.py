@@ -173,6 +173,10 @@ class PinSLAMSystem:
         # reused as the next frame's tracker search structure
         self._cur_lset = None
         self._cur_track_feats = None
+        # False until the first elastic deformation: the training local
+        # set is built WITHOUT orientations (all identity), statically
+        # skipping the offset-rotation gathers in every decode
+        self._map_deformed = False
         # extra mapping iterations requested by an accepted loop closure
         self.post_loop_iter_boost_pending = 0
         self.last_static_mask = None  # dynamic filter's latest verdicts
@@ -264,17 +268,25 @@ class PinSLAMSystem:
                       if state.color_features is not None else None)
             return ls, feats, cfeats
 
-        def build_lset_train(state, travel, cur_ts, reboot_ts):
+        def build_lset_train(state, travel, cur_ts, reboot_ts,
+                             with_quat=True):
             m = npm.local_map_mask(
                 state, travel, cur_ts, lwd, reboot_ts=reboot_ts,
                 use_mid_ts=c.use_mid_ts)
             return kj.build_local_set(
                 state.positions, m, c.voxel_size_m, c.local_set_cap,
                 certainty=state.certainty, ts_update=state.ts_update,
-                orientations=state.orientations)
+                orientations=state.orientations if with_quat else None)
 
         self._build_lset_track = jax.jit(build_lset_track)
+        # quat-free variant used until the first elastic deformation: with
+        # lset.quat=None every decode statically skips the offset-rotation
+        # gathers (identity quaternions make it arithmetically identical);
+        # the host flips _map_deformed at the first closure and the
+        # quat-carrying variants compile then (once, persisted in cache)
         self._build_lset_train = jax.jit(build_lset_train)
+        self._build_lset_train_nq = jax.jit(
+            functools.partial(build_lset_train, with_quat=False))
         self._loss_kwargs = loss_kwargs
         self._train_loops = {}
 
@@ -516,7 +528,7 @@ class PinSLAMSystem:
     # -------------------------------------------------------------- helpers
 
     def _get_train_loop(self, iters: int, train_decoder: bool):
-        k = (iters, train_decoder)
+        k = (iters, train_decoder, self._map_deformed)
         if k not in self._train_loops:
             c = self.config
             inner = mp.make_train_loop(
@@ -532,9 +544,12 @@ class PinSLAMSystem:
                 # tracker registers against (reference reset_local_map
                 # runs after update, model/neural_points.py:424), so the
                 # tracker skips its own 17 ms build+gather.
+                build = (self._build_lset_train if self._map_deformed
+                         else self._build_lset_train_nq)
+
                 def fused(params, opt_state, state, pool, key, lf,
                           use_new, reboot_ts):
-                    ls = self._build_lset_train(
+                    ls = build(
                         state, lf.travel_dist, lf.cur_ts, reboot_ts)
                     out = inner(params, opt_state, state, pool, key,
                                 lf, use_new, ls)
@@ -600,6 +615,9 @@ class PinSLAMSystem:
             self.params["color_features"] = state.color_features
         self.decoder_freezed = True
         self.localization_mode = True
+        # a saved map may carry deformed orientations
+        self._map_deformed = bool(
+            np.any(np.asarray(state.orientations[:, 1:4]) != 0.0))
         if self._use_join:
             # the map is frozen: build the spatial-join set ONCE over all
             # alive rows and reuse it every frame (no per-frame local-map
@@ -609,11 +627,13 @@ class PinSLAMSystem:
             cnt = int(self.state.count)
             cap = max(1, -(-cnt // kj.TL)) * kj.TL
             m = jnp.arange(self.state.capacity) < cnt
+            deformed = self._map_deformed
             self._loc_lset = jax.jit(
                 lambda s: kj.build_local_set(
                     s.positions, m, self.config.voxel_size_m, cap,
                     certainty=s.certainty,
-                    orientations=s.orientations))(self.state)
+                    orientations=s.orientations if deformed else None)
+            )(self.state)
             self._loc_feats = self.params["geo_features"][
                 self._loc_lset.gidx]
 

@@ -177,11 +177,11 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
 
     def registration_quantities_cached(geo_features, geo_mlp, pts, src_mask,
                                        anchor, lset, cand, cvalid,
-                                       gm_scale=1.0):
+                                       gm_scale=1.0, pack=None):
         def sdf_fn(p):
             s, nn, std = mq.decode_sdf_candidates(
                 lset, geo_features, geo_mlp, p + anchor, cand, cvalid, qp,
-                with_std=not tp.weighted_first)
+                with_std=not tp.weighted_first, pack=pack)
             return jnp.sum(s), (s, nn, std)
 
         grad, (sdf, nn_count, std) = jax.grad(
@@ -241,6 +241,10 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         i80 = jnp.clip(S - src_count + (src_count * 8) // 10, 0, S - 1)
         src_rq = r_sorted[i80]
 
+        # per-track packed row table (features are fixed during
+        # registration): pos/quat/feats in one gather per GN iteration
+        track_pack = (mq.pack_lset_rows(lset, geo_features)
+                      if use_cache else None)
         if lset is not None:
             # one Morton sort per track: the source cloud moves rigidly by
             # centimeters between GN iterations, so the iteration-0 spatial
@@ -291,7 +295,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
                 H, g, res_cm, vcount, mse, w_pts, vmask = \
                     registration_quantities_cached(
                         geo_features, geo_mlp, pts, src_mask, anchor,
-                        lset, cand, cvalid, gm_scale)
+                        lset, cand, cvalid, gm_scale, pack=track_pack)
             else:
                 H, g, res_cm, vcount, mse, w_pts, vmask = \
                     registration_quantities(

@@ -34,6 +34,19 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--out", default="eval/gauntlet_results.json")
     p.add_argument("--no-pgo", action="store_true")
+    p.add_argument("--pgo-freq", type=int, default=10,
+                   help="min frames between closures; the revisit-to-"
+                   "closure gap is the window where drift-offset duplicate"
+                   " geometry trains blur into the map, so on this small-"
+                   "loop course a tight cadence keeps the map sharp")
+    p.add_argument("--boost", type=int, default=None,
+                   help="post-closure extra training iterations")
+    p.add_argument("--pool", type=float, default=24e6,
+                   help="replay pool capacity; sized to hold the WHOLE "
+                   "run (the reference default is 2e7): the post-closure "
+                   "pool transform then realigns every region's samples, "
+                   "so continued training sharpens geometry everywhere "
+                   "instead of only inside the last ring-buffer window")
     p.add_argument("--gt-poses", action="store_true",
                    help="mapping-mode: feed GT poses (no tracking/PGO) — "
                    "isolates mapping+meshing fidelity from SLAM drift")
@@ -105,10 +118,12 @@ def main():
     cfg.source_point_cap = 1 << 12
     cfg.max_frames = 1 << int(np.ceil(np.log2(a.frames + 1)))
     cfg.local_map_context = False      # scan-context descriptors
-    cfg.pgo_freq = 20
+    cfg.pgo_freq = a.pgo_freq
+    if a.boost is not None:
+        cfg.post_loop_iter_boost = a.boost
     cfg.silence = True
     cfg.finalize()
-    cfg.pool_capacity = 3_000_000
+    cfg.pool_capacity = int(a.pool)
     # Scene-scaled loop/PGO geometry. finalize() sets local_map_radius =
     # max_range+2 = 62 m, which must STAY that large (it is also the
     # query-radius filter; the walls are ~25 m out). Scale the derived

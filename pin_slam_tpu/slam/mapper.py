@@ -695,24 +695,41 @@ def make_train_loop(
 
         bidxs, kcs = jax.vmap(draw)(keys[1:])            # [n_iters, bs]
         flat_idx = bidxs.idx.reshape(-1)
-        coords_all = pool.coord[flat_idx]
         if pre_gather:
-            # pre-gather every iteration's pool labels in one pass (labels
+            # pre-gather every iteration's pool rows in one pass (labels
             # are constant during the run; keeps [pool]-sized gathers out
-            # of the scan body). Skipped for the long init-frame loop,
-            # where n_iters * bs label copies would cost ~150 MB of HBM.
+            # of the scan body). The pool columns are packed into one
+            # [P+1, 6+] array first so this is ONE row gather instead of
+            # four (TPU random-gather cost is per row, not per byte; the
+            # transient pack materialization is bandwidth-cheap). Skipped
+            # for the long init-frame loop, where n_iters * bs label
+            # copies would cost ~150 MB of HBM.
+            parts = [pool.coord, pool.sdf_label[:, None],
+                     pool.weight[:, None],
+                     pool.ts.astype(jnp.float32)[:, None]]
+            if loss_kwargs.get("semantic_on") and pool.sem_label is not None:
+                parts.append(pool.sem_label.astype(jnp.float32)[:, None])
+            if loss_kwargs.get("color_on") and pool.color_label is not None:
+                parts.append(pool.color_label)
+            packed = jnp.concatenate(parts, axis=1)[flat_idx]
+            coords_all = packed[:, :3]
             batches = {
                 "coord": coords_all.reshape(n_iters, bs, 3),
-                "sdf_label": pool.sdf_label[flat_idx].reshape(n_iters, bs),
-                "weight": pool.weight[flat_idx].reshape(n_iters, bs),
-                "ts": pool.ts[flat_idx].reshape(n_iters, bs),
+                "sdf_label": packed[:, 3].reshape(n_iters, bs),
+                "weight": packed[:, 4].reshape(n_iters, bs),
+                "ts": packed[:, 5].astype(jnp.int32).reshape(n_iters, bs),
             }
+            col = 6
             if loss_kwargs.get("semantic_on") and pool.sem_label is not None:
-                batches["sem_label"] = pool.sem_label[flat_idx].reshape(
-                    n_iters, bs)
+                batches["sem_label"] = packed[:, col].astype(
+                    jnp.int32).reshape(n_iters, bs)
+                col += 1
             if loss_kwargs.get("color_on") and pool.color_label is not None:
-                batches["color_label"] = pool.color_label[flat_idx].reshape(
-                    n_iters, bs, pool.color_label.shape[-1])
+                cc = pool.color_label.shape[-1]
+                batches["color_label"] = packed[:, col:col + cc].reshape(
+                    n_iters, bs, cc)
+        else:
+            coords_all = pool.coord[flat_idx]
         # chunk the probe: its ragged pair list lives in SMEM scalar-
         # prefetch (1 MB limit) and scales with the query count — ~200k
         # queries per kernel call is safely inside it (the init frame's

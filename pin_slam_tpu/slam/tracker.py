@@ -173,7 +173,6 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
     # moves < a fraction of a voxel, re-ranking to the exact top-6 by true
     # distance every iteration. ~4x fewer kernel probes per track.
     CAND_K = 12
-    REPROBE_FRAC = 0.35
 
     def registration_quantities_cached(geo_features, geo_mlp, pts, src_mask,
                                        anchor, lset, cand, cvalid,
@@ -228,19 +227,6 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
         src_count = jnp.maximum(jnp.sum(src_mask.astype(jnp.int32)), 1)
         min_ratio = 0.15 if loop_reg else tp.min_valid_ratio
         use_cache = (lset is not None) and not use_color
-        # movement bound for candidate-cache reuse: the p80 source radius
-        # instead of the max — the max is set by a handful of range-limit
-        # returns (80 m on KITTI scans) and forced a re-probe on nearly
-        # every GN iteration (a rotation of 1e-3 rad already "moves" 0.16 m
-        # at 80 m). Points beyond the percentile see a slightly staler
-        # candidate set between re-probes; the re-rank still picks the
-        # exact top-k WITHIN the cached candidates and the GM weights
-        # bound any residual influence.
-        r_sorted = jnp.sort(jnp.where(src_mask,
-                                      jnp.linalg.norm(src, axis=1), 0.0))
-        i80 = jnp.clip(S - src_count + (src_count * 8) // 10, 0, S - 1)
-        src_rq = r_sorted[i80]
-
         # per-track packed row table (features are fixed during
         # registration): pos/quat/feats in one gather per GN iteration
         track_pack = (mq.pack_lset_rows(lset, geo_features)
@@ -274,34 +260,15 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
                 resolution=qp.resolution, local_ids=True, qperm=qperm0)
             return qn.idx, qn.valid
 
-        def body(carry):
+        def gn_update(carry, quantities, i_probed):
+            """One GN/LM update + failure/termination bookkeeping given
+            this iteration's registration quantities. `i_probed` marks
+            the unrolled probed-phase steps, whose updates must be
+            MASKED on stop (a while-loop exits instead)."""
             (T, i, last_res, valid_flag, converged, stop,
              H_keep, res_keep, cnt_keep, mse_keep, fail_code,
-             w_keep, vmask_keep, cand, cvalid, probe_T) = carry
-
-            pts = src @ T[:3, :3].T + T[:3, 3]
-            gm_scale = jnp.maximum(
-                1.0, tp.gm_anneal * (0.5 ** i.astype(jnp.float32)))
-            if use_cache:
-                dt = jnp.linalg.norm(T[:3, 3] - probe_T[:3, 3])
-                ang = rotation_angle(T[:3, :3] @ probe_T[:3, :3].T)
-                moved = dt + 2.0 * jnp.sin(
-                    jnp.minimum(ang * 0.5, jnp.pi / 2)) * src_rq
-                need = (i == 0) | (moved > REPROBE_FRAC * qp.resolution)
-                cand, cvalid = jax.lax.cond(
-                    need, lambda: probe(pts + anchor),
-                    lambda: (cand, cvalid))
-                probe_T = jnp.where(need, T, probe_T)
-                H, g, res_cm, vcount, mse, w_pts, vmask = \
-                    registration_quantities_cached(
-                        geo_features, geo_mlp, pts, src_mask, anchor,
-                        lset, cand, cvalid, gm_scale, pack=track_pack)
-            else:
-                H, g, res_cm, vcount, mse, w_pts, vmask = \
-                    registration_quantities(
-                        state, geo_features, geo_mlp, pts, src_mask, lf,
-                        anchor, src_intensity, color_features, color_mlp,
-                        lset, gm_scale)
+             w_keep, vmask_keep) = carry
+            H, g, res_cm, vcount, mse, w_pts, vmask = quantities
 
             H_lm = H + tp.lm_lambda * jnp.diag(jnp.diag(H))
             enough = vcount >= 10
@@ -314,13 +281,13 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
             # failure: residual blow-up (reference :149-159)
             inc_fail = (res_cm - last_res) / last_res \
                 > tp.max_increment_residual_ratio
-            last_res = jnp.where(inc_fail, last_res, res_cm)
+            last_res_new = jnp.where(inc_fail, last_res, res_cm)
             # failure: not enough valid points (reference :161-169)
             few_fail = (vcount < tp.min_valid_points) | (
                 vcount.astype(jnp.float32) / src_count.astype(jnp.float32)
                 < min_ratio)
             valid_new = valid_flag & ~inc_fail & ~few_fail
-            fail_code = fail_code | jnp.where(inc_fail, 1, 0) \
+            fail_new = fail_code | jnp.where(inc_fail, 1, 0) \
                 | jnp.where(few_fail, 2, 0)
 
             stop_new = (~valid_new) | converged  # (reference :171-172)
@@ -331,13 +298,14 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
                 (tran_m < tp.term_thre_m) & (i + 1 >= tp.min_iter_n)
             converged_new = converged | small | (i == tp.reg_iter_n - 2)
 
-            return (T_new, i + 1, last_res, valid_new, converged_new,
-                    stop_new, H, res_cm, vcount, mse, fail_code,
-                    w_pts, vmask, cand, cvalid, probe_T)
-
-        def cond(carry):
-            (_, i, _, _, _, stop, *_rest) = carry
-            return (i < tp.reg_iter_n) & ~stop
+            new = (T_new, i + 1, last_res_new, valid_new, converged_new,
+                   stop_new, H, res_cm, vcount, mse, fail_new,
+                   w_pts, vmask)
+            if not i_probed:
+                return new
+            # probed-phase step: freeze the carry once stopped
+            return jax.tree.map(
+                lambda n_, o: jnp.where(stop, o, n_), new, carry)
 
         init = (
             init_T, jnp.int32(0), jnp.float32(1e5),
@@ -345,13 +313,61 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
             jnp.eye(6), jnp.float32(0.0), jnp.int32(0), jnp.float32(0.0),
             jnp.int32(0), jnp.zeros((S,), jnp.float32),
             jnp.zeros((S,), bool),
-            jnp.zeros((S, CAND_K), jnp.int32),
-            jnp.zeros((S, CAND_K), bool),
-            jnp.full((4, 4), 1e6, jnp.float32),  # forces the first probe
         )
+
+        if use_cache:
+            # two-phase registration: PROBED phase = N unrolled GN steps,
+            # each with a fresh candidate probe (the pose moves most in
+            # the first iterations); CACHED phase = while_loop reusing the
+            # last probe's candidates with exact top-k re-ranking. After
+            # the probed phase the per-iteration pose increments are
+            # sub-voxel, so the cached 12-candidate sets cover the
+            # remaining motion; dropping the old movement-triggered
+            # re-probe removes a per-iteration lax.cond whose carried
+            # candidate copies cost as much as the probes it saved.
+            n_probed = 5 if loop_reg else 3
+            carry = init
+            cand = cvalid = None
+            for _ in range(n_probed):
+                T_c, i_c = carry[0], carry[1]
+                pts = src @ T_c[:3, :3].T + T_c[:3, 3]
+                cand, cvalid = probe(pts + anchor)
+                gm_scale = jnp.maximum(
+                    1.0, tp.gm_anneal * (0.5 ** i_c.astype(jnp.float32)))
+                q = registration_quantities_cached(
+                    geo_features, geo_mlp, pts, src_mask, anchor,
+                    lset, cand, cvalid, gm_scale, pack=track_pack)
+                carry = gn_update(carry, q, i_probed=True)
+
+            def body(c):
+                T_c, i_c = c[0], c[1]
+                pts = src @ T_c[:3, :3].T + T_c[:3, 3]
+                gm_scale = jnp.maximum(
+                    1.0, tp.gm_anneal * (0.5 ** i_c.astype(jnp.float32)))
+                q = registration_quantities_cached(
+                    geo_features, geo_mlp, pts, src_mask, anchor,
+                    lset, cand, cvalid, gm_scale, pack=track_pack)
+                return gn_update(c, q, i_probed=False)
+        else:
+            carry = init
+
+            def body(c):
+                T_c, i_c = c[0], c[1]
+                pts = src @ T_c[:3, :3].T + T_c[:3, 3]
+                gm_scale = jnp.maximum(
+                    1.0, tp.gm_anneal * (0.5 ** i_c.astype(jnp.float32)))
+                q = registration_quantities(
+                    state, geo_features, geo_mlp, pts, src_mask, lf,
+                    anchor, src_intensity, color_features, color_mlp,
+                    lset, gm_scale)
+                return gn_update(c, q, i_probed=False)
+
+        def cond(c):
+            return (c[1] < tp.reg_iter_n) & ~c[5]
+
         (T, iters, _, valid_flag, _, _, H_raw, res_cm, vcount, mse,
-         fail_code, w_final, valid_final, _, _, _) = jax.lax.while_loop(
-            cond, body, init)
+         fail_code, w_final, valid_final) = jax.lax.while_loop(
+            cond, body, carry)
 
         # final checks (reference: utils/tracker.py:198-216)
         res_ok = res_cm <= tp.max_valid_residual_cm

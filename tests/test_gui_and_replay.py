@@ -2,6 +2,7 @@
 (reference: gui/gui_utils.py, pin_slam.py:200-217,412-433,
 utils/pgo.py:252-314, utils/loop_detector.py:376-440)."""
 
+import sys
 import os
 import threading
 import time
@@ -212,3 +213,237 @@ class TestO3DBackend:
         th.join(timeout=10)
         assert not th.is_alive()
         assert png.exists()
+
+
+class TestO3DViewerMocked:
+    """Execute the _O3DViewer widget/render wiring against a fake open3d.
+
+    open3d cannot be installed in this environment (no pip installs, no
+    display), so the interactive backend is driven here with a minimal
+    in-process stand-in for the open3d.visualization.gui / rendering /
+    geometry APIs it touches. This verifies the panel construction, the
+    checkbox/slider -> ControlPacket push path, packet rendering (scene
+    geometry add/remove by name), the stats line, and the finish protocol.
+    """
+
+    def _fake_open3d(self):
+        import types
+
+        class _Obj:
+            """Permissive attribute bag."""
+            def __init__(self, *a, **k):
+                self._a, self._k = a, k
+
+            def __call__(self, *a, **k):
+                return _Obj(*a, **k)
+
+            def __getattr__(self, name):
+                v = _Obj()
+                object.__setattr__(self, name, v)
+                return v
+
+        class Scene:
+            def __init__(self, renderer):
+                self.geoms = {}
+                self.bg = None
+                self.bounding_box = _Obj()
+                self.bounding_box.get_center = lambda: (0.0, 0.0, 0.0)
+
+            def set_background(self, c):
+                self.bg = c
+
+            def has_geometry(self, name):
+                return name in self.geoms
+
+            def remove_geometry(self, name):
+                del self.geoms[name]
+
+            def add_geometry(self, name, geom, mat):
+                self.geoms[name] = geom
+
+        class Widget:
+            def __init__(self, *a, **k):
+                self.children = []
+                self.frame = None
+                self.checked = k.pop("checked", False)
+
+            def add_child(self, c):
+                self.children.append(c)
+
+            def setup_camera(self, fov, bounds, center):
+                self.camera = (fov, bounds, center)
+
+        class Checkbox(Widget):
+            def __init__(self, label):
+                super().__init__()
+                self.label = label
+                self.checked = False
+
+            def set_on_checked(self, fn):
+                self.on_checked = fn
+
+        class Slider(Widget):
+            INT, DOUBLE = 0, 1
+
+            def __init__(self, kind):
+                super().__init__()
+                self.kind = kind
+                self.int_value = 0
+                self.double_value = 0.0
+
+            def set_limits(self, lo, hi):
+                self.limits = (lo, hi)
+
+            def set_on_value_changed(self, fn):
+                self.on_value = fn
+
+        class Label(Widget):
+            def __init__(self, text):
+                super().__init__()
+                self.text = text
+
+        class Window(Widget):
+            def __init__(self):
+                super().__init__()
+                self.theme = _Obj()
+                self.theme.font_size = 14
+                self.renderer = _Obj()
+                self.content_rect = _Obj()
+
+            def set_on_layout(self, fn):
+                self.on_layout = fn
+
+            def set_on_tick_event(self, fn):
+                self.on_tick = fn
+
+            def set_on_close(self, fn):
+                self.on_close = fn
+
+        class App:
+            def __init__(self):
+                self.quit_called = False
+                self.run_called = False
+
+            def initialize(self):
+                pass
+
+            def create_window(self, *a):
+                self.window = Window()
+                return self.window
+
+            def quit(self):
+                self.quit_called = True
+
+            def run(self):
+                self.run_called = True
+
+        gui = types.ModuleType("open3d.visualization.gui")
+        gui.Application = _Obj()
+        gui.Application.instance = App()
+        gui.SceneWidget = Widget
+        gui.Vert = lambda *a, **k: Widget()
+        gui.Margins = lambda *a, **k: None
+        gui.Checkbox = Checkbox
+        gui.Slider = Slider
+        gui.Label = Label
+        gui.Rect = lambda *a: a
+
+        rendering = types.ModuleType("open3d.visualization.rendering")
+        rendering.Open3DScene = Scene
+        rendering.MaterialRecord = _Obj
+
+        def _vec(x):
+            return np.asarray(x)
+
+        class _Geom:
+            def __init__(self, *a):
+                self.args = a
+                self.colors = None
+                self.vertex_colors = None
+
+            def paint_uniform_color(self, c):
+                self.uniform = c
+
+            def compute_vertex_normals(self):
+                pass
+
+        geometry = types.ModuleType("open3d.geometry")
+        geometry.PointCloud = _Geom
+        geometry.TriangleMesh = _Geom
+        geometry.LineSet = _Geom
+        utility = types.ModuleType("open3d.utility")
+        utility.Vector3dVector = _vec
+        utility.Vector2iVector = _vec
+        utility.Vector3iVector = _vec
+
+        vis = types.ModuleType("open3d.visualization")
+        vis.gui, vis.rendering = gui, rendering
+        o3d = types.ModuleType("open3d")
+        o3d.visualization, o3d.geometry, o3d.utility = vis, geometry, utility
+        return {"open3d": o3d, "open3d.visualization": vis,
+                "open3d.visualization.gui": gui,
+                "open3d.visualization.rendering": rendering}
+
+    def test_panel_render_control_and_finish(self, monkeypatch):
+        import queue as q
+
+        for name, mod in self._fake_open3d().items():
+            monkeypatch.setitem(sys.modules, name, mod)
+        from pin_slam_tpu.gui.gui_utils import ParamsGUI, VisPacket
+        from pin_slam_tpu.gui.o3d_gui import _O3DViewer
+
+        q_m2v, q_v2m = q.Queue(), q.Queue()
+        params = ParamsGUI(q_main2vis=q_m2v, q_vis2main=q_v2m,
+                           mesh_default_on=True)
+        v = _O3DViewer(params)
+
+        # panel wiring: 6 checkboxes, 3 sliders (each with a label), stats
+        kids = v.panel.children
+        n_cb = sum(1 for c in kids if hasattr(c, "on_checked"))
+        n_sl = sum(1 for c in kids if hasattr(c, "on_value"))
+        assert n_cb == 6 and n_sl == 3
+        assert v.cb_mesh.checked is True  # mesh_default_on
+
+        # checkbox callback -> ControlPacket push
+        v.cb_pause.on_checked(True)
+        cp = q_v2m.get_nowait()
+        assert cp.flag_pause is True
+        # slider callback -> ControlPacket field
+        sliders = [c for c in kids if hasattr(c, "on_value")]
+        sliders[0].on_value(0.42)
+        cp = q_v2m.get_nowait()
+        assert abs(cp.mc_res_m - 0.42) < 1e-9
+
+        # render a full packet through the tick path
+        pkt = VisPacket(frame_id=3, cur_fps=7.5,
+                        current_pointcloud_xyz=np.random.rand(40, 3),
+                        mesh_verts=np.random.rand(9, 3),
+                        mesh_faces=np.arange(9).reshape(3, 3),
+                        slam_poses=np.stack([np.eye(4)] * 5))
+        pkt.add_traj(slam_poses=np.stack([np.eye(4)] * 5),
+                     loop_edges=[(0, 4)])
+        pkt.add_neural_points_data(np.random.rand(64, 3),
+                                   count=64, map_memory_mb=1.5,
+                                   pca_color_on=False)
+        pkt.add_sdf_slice(np.random.rand(16, 3), np.random.rand(16, 3))
+        v.cb_sdf.checked = True
+        v.cb_np.checked = True
+        q_m2v.put(pkt)
+        assert v._on_tick() is True
+        geoms = v.widget3d.scene.geoms
+        for name in (v.NP_NAME, v.SCAN_NAME, v.MESH_NAME, v.SDF_NAME,
+                     v.TRAJ_NAME, v.LOOP_NAME):
+            assert name in geoms, name
+        assert "frame 3" in v.stats.text and "64 neural points" in v.stats.text
+
+        # unchecking removes the geometry on the next packet
+        v.cb_mesh.checked = False
+        v.cb_scan.checked = False
+        q_m2v.put(pkt)
+        assert v._on_tick() is True
+        assert v.MESH_NAME not in geoms and v.SCAN_NAME not in geoms
+
+        # finish packet quits the app
+        q_m2v.put(VisPacket(finish=True))
+        assert v._on_tick() is False
+        assert v.gui.Application.instance.quit_called

@@ -34,7 +34,7 @@ from pin_slam_tpu.ops.transforms import (
     quat_multiply,
     quat_rotate,
     rotmat_to_quat,
-    transform_points_batch,
+    transform_points_by_ts,
 )
 from pin_slam_tpu.ops.voxel import (
     voxel_down_sample_hash_mask,
@@ -796,10 +796,12 @@ def deform_map(
         else state.ts_create
     )
     ts = jnp.clip(ts, 0, T - 1)
-    per_point = pose_diff[ts]
-    positions = transform_points_batch(state.positions, per_point)
+    positions = transform_points_by_ts(state.positions, ts, pose_diff)
     dq = rotmat_to_quat(pose_diff[:, :3, :3])
-    orientations = quat_multiply(dq[ts], state.orientations)
+    # component-wise gathers: [C,4] gathers pad the 4-lane trailing dim to
+    # a full 128-lane tile on TPU (see transform_points_by_ts)
+    dq_pp = jnp.stack([dq[:, i][ts] for i in range(4)], axis=-1)
+    orientations = quat_multiply(dq_pp, state.orientations)
     return state.replace(positions=positions, orientations=orientations)
 
 

@@ -87,6 +87,26 @@ def transform_points_batch(points: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("nij,nj->ni", T[:, :3, :3], points) + T[:, :3, 3]
 
 
+def transform_points_by_ts(points: jnp.ndarray, ts: jnp.ndarray,
+                           diffs: jnp.ndarray) -> jnp.ndarray:
+    """Transform [N,3] points by per-point timestamp-indexed 4x4 transforms
+    diffs [maxT,4,4], without materializing an [N,4,4] gather: on TPU the
+    trailing (4,4) dims pad to full (8,128) tiles, so `diffs[ts]` costs
+    ~2000 bytes/point of HBM (a 24M-sample pool transform = 49 GB, OOM).
+    Twelve separate [N] coefficient gathers have no tile padding and fuse
+    into the elementwise affine math."""
+    ts = jnp.clip(ts, 0, diffs.shape[0] - 1)
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    out = []
+    for i in range(3):
+        r0 = diffs[:, i, 0][ts]
+        r1 = diffs[:, i, 1][ts]
+        r2 = diffs[:, i, 2][ts]
+        t = diffs[:, i, 3][ts]
+        out.append(r0 * x + r1 * y + r2 * z + t)
+    return jnp.stack(out, axis=-1)
+
+
 # quaternions (w, x, y, z) --------------------------------------------------
 
 

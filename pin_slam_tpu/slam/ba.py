@@ -134,9 +134,8 @@ def _transform_pool_jit():
     global _TRANSFORM_POOL_JIT
     if _TRANSFORM_POOL_JIT is None:
         def transform_pool(pool, d):
-            T = d[jnp.clip(pool.ts, 0, d.shape[0] - 1)]
-            coord = jnp.einsum("nij,nj->ni", T[:, :3, :3], pool.coord) \
-                + T[:, :3, 3]
+            from pin_slam_tpu.ops.transforms import transform_points_by_ts
+            coord = transform_points_by_ts(pool.coord, pool.ts, d)
             return pool.replace(coord=coord)
 
         _TRANSFORM_POOL_JIT = jax.jit(transform_pool)

@@ -47,9 +47,8 @@ class LoopPgoManager:
                 state, diffs, use_mid_ts=c.use_mid_ts))
 
         def transform_pool(pool, diffs):
-            T = diffs[jnp.clip(pool.ts, 0, diffs.shape[0] - 1)]
-            coord = jnp.einsum(
-                "nij,nj->ni", T[:, :3, :3], pool.coord) + T[:, :3, 3]
+            from pin_slam_tpu.ops.transforms import transform_points_by_ts
+            coord = transform_points_by_ts(pool.coord, pool.ts, diffs)
             return pool.replace(coord=coord)
 
         self._transform_pool = jax.jit(transform_pool)

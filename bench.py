@@ -59,8 +59,11 @@ def main():
     # cadence programs are averaged, not sampled once
     n_frames = int(os.environ.get("BENCH_FRAMES", 40))
     warmup = 10
+    # real HDL-64 density: 64 beams x 1800 azimuth steps = ~115k returns
+    # per scan (a KITTI frame's raw size; the previous 900x56 bench was
+    # ~50k and undersized the static caps)
     frames, poses = build_frames(
-        n_frames, n_az=900, n_el=56,
+        n_frames, n_az=1800, n_el=64,
         cache=os.path.join(os.path.dirname(__file__), ".bench_frames.npz"))
     print(f"[bench] frames ready ({frames[0].shape[0]} pts/frame, "
           f"{time.time()-t_start:.0f}s)", file=sys.stderr)
@@ -84,19 +87,20 @@ def main():
     cfg.reg_iter_n = 100
     cfg.map_capacity = 1 << 20
     cfg.buffer_size = 1 << 23
-    # static capacities sized to the workload (train cloud ~31k pts after
-    # the 8 cm voxel downsample, source ~7k): capacity slack is pure
-    # padding work on a static-shape machine
-    cfg.frame_point_cap = 1 << 15
-    cfg.source_point_cap = 1 << 13
+    # static capacities sized to the workload (train cloud ~90k pts after
+    # the 8 cm voxel downsample at HDL-64 density, source ~13k): capacity
+    # slack is pure padding work on a static-shape machine, undersizing
+    # thins the scan (counted by system.cap_overflow_frames and reported
+    # below — never silent)
+    cfg.frame_point_cap = 1 << 17
+    cfg.source_point_cap = 1 << 14
     cfg.max_frames = 256
-    # local-map set capacity sized to the workload like the caps above
-    # (~50k windowed points at steady state): the [cap]-sized local ops
-    # (Adam, feature gather/scatter-back, certainty merge) are pure
-    # padding work beyond the actual count
+    # local-map set capacity sized to the workload like the caps above:
+    # the [cap]-sized local ops (Adam, feature gather/scatter-back,
+    # certainty merge) are pure padding work beyond the actual count
     cfg.local_set_cap = 1 << 16
     cfg.finalize()
-    cfg.pool_capacity = 4_000_000
+    cfg.pool_capacity = 12_000_000
 
     system = PinSLAMSystem(cfg)
     system.set_gt_poses(poses)
@@ -133,13 +137,28 @@ def main():
     n_steady = n_frames - warmup
     ms = float((t_end - t_steady) / max(n_steady, 1) * 1e3)
     fps = 1e3 / ms
+    steady = np.asarray(times[warmup:]) * 1e3
     result = {
-        "metric": "synthetic KITTI-scale frames/sec (track+map, steady state)",
+        "metric": "synthetic KITTI-density (115k pts) frames/sec "
+                  "(track+map, steady state)",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 10.0, 3),
+        "mean_ms": round(ms, 1),
+        "median_ms": round(float(np.median(steady)), 1),
+        "p95_ms": round(float(np.percentile(steady, 95)), 1),
+        "overflow_frames": int(system.cap_overflow_frames),
     }
-    print(f"[bench] steady-state {ms:.1f} ms/frame", file=sys.stderr)
+    print(f"[bench] steady-state {ms:.1f} ms/frame "
+          f"(median {result['median_ms']}, p95 {result['p95_ms']}, "
+          f"cap-overflow frames {system.cap_overflow_frames}, "
+          f"max ratio {system.cap_overflow_max_ratio:.2f})",
+          file=sys.stderr)
+    # structured per-frame artifact for round-over-round variance analysis
+    with open(os.path.join(os.path.dirname(__file__),
+                           "bench_detail.json"), "w") as fp:
+        json.dump({"frame_ms": [round(float(t) * 1e3, 1) for t in times],
+                   "warmup": warmup, "result": result}, fp)
     t = np.asarray(system.timings)[warmup:]
     labels = ["preprocess", "odometry", "pgo", "map-prep", "map-opt"]
     breakdown = " ".join(

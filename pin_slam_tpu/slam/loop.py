@@ -171,7 +171,8 @@ class LoopPgoManager:
         src = np.asarray(points[:, :3], np.float32)
         raw, n_raw = _pad(src, sysm.config.source_point_cap * 4)
         attr = np.zeros((raw.shape[0], 1), np.float32)
-        _, _, _, src_pts, _, src_n = sysm._preprocess(raw, attr, n_raw)
+        (_, _, _, src_pts, _, src_n, _, _) = sysm._preprocess(
+            raw, attr, n_raw)
 
         anchor = pose_init[:3, 3].copy()
         T_init = pose_init.copy()

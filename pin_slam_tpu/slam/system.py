@@ -156,6 +156,8 @@ class PinSLAMSystem:
         self.last_odom_tran = np.eye(4)
         self.cur_frame = 0
         self.lose_track = False
+        self.cap_overflow_frames = 0
+        self.cap_overflow_max_ratio = 0.0
         self.stop_status = False
         self.stop_count = 0
         self.consecutive_lose_track_frame = 0
@@ -314,7 +316,9 @@ class PinSLAMSystem:
                 # capacity overflow thins UNIFORMLY (a prefix cut would drop
                 # a contiguous azimuth wedge of the scan — a fixed blind
                 # sector in the sensor frame that destabilizes tracking at
-                # certain headings)
+                # certain headings); `total` (the pre-cap count) is returned
+                # so the host can count overflow frames — thinning must
+                # never be silent
                 order = jnp.cumsum(keep.astype(jnp.int32)) - 1
                 total = jnp.maximum(order[-1] + 1, 1)
                 stride = (total + cap - 1) // cap
@@ -326,14 +330,16 @@ class PinSLAMSystem:
                 a_out = jnp.zeros((cap + 1, attr.shape[1]), jnp.float32
                                   ).at[dest].set(attr)
                 cnt = jnp.sum(ok.astype(jnp.int32))
-                return out[:cap], a_out[:cap], cnt
+                return out[:cap], a_out[:cap], cnt, total
 
-            train_pts, train_attr, train_n = compact(
+            train_pts, train_attr, train_n, train_total = compact(
                 train_keep, c.frame_point_cap)
             src_keep = voxel_down_sample_hash_mask(
                 raw, train_keep, source_vox, 1 << 18) & train_keep
-            src_pts, src_attr, src_n = compact(src_keep, c.source_point_cap)
-            return train_pts, train_attr, train_n, src_pts, src_attr, src_n
+            src_pts, src_attr, src_n, src_total = compact(
+                src_keep, c.source_point_cap)
+            return (train_pts, train_attr, train_n, src_pts, src_attr,
+                    src_n, train_total, src_total)
 
         self._preprocess_jit = jax.jit(preprocess)
 
@@ -716,7 +722,7 @@ class PinSLAMSystem:
             pts_in, 1 << int(np.ceil(np.log2(max(points.shape[0], 2)))),
             attr_dim)
         (train_pts, train_attr, train_n, src_pts, src_attr,
-         src_n) = self._preprocess(raw, attr, n_raw)
+         src_n, train_total, src_total) = self._preprocess(raw, attr, n_raw)
         if self._sync_timing:
             jax.block_until_ready(train_pts)
         t1 = time.time()
@@ -956,9 +962,23 @@ class PinSLAMSystem:
             pull.append(new_obs_ratio)
         if dispatched_map and pool_cadence:
             pull.append(self.state.count)
+        pull += [train_total, src_total]
         t_pull0 = time.time()
         vals = list(jax.device_get(tuple(pull))) if pull else []
         self.last_pull_block = time.time() - t_pull0
+        # cap-overflow accounting (rides the one batched pull): the
+        # preprocess thins uniformly past the static caps — never silently
+        tt, st = int(vals[-2]), int(vals[-1])
+        vals = vals[:-2]
+        if tt > c.frame_point_cap or st > c.source_point_cap:
+            self.cap_overflow_frames += 1
+            self.cap_overflow_max_ratio = max(
+                self.cap_overflow_max_ratio, tt / c.frame_point_cap,
+                st / c.source_point_cap)
+            if not c.silence and self.cap_overflow_frames == 1:
+                print(f"[warn] frame {frame_id}: point caps exceeded "
+                      f"(train {tt}/{c.frame_point_cap}, source "
+                      f"{st}/{c.source_point_cap}); thinning uniformly")
         if tracked:
             valid, iters, pose_d = (
                 bool(vals[0]), int(vals[1]), vals[2])

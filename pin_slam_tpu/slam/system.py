@@ -861,8 +861,12 @@ class PinSLAMSystem:
         new_obs_ratio = None
         if dispatched_map:
             # prune inactive low-certainty points (reference:
-            # utils/mapper.py:253-256)
-            if c.prune_map_on and (frame_id + 1) % c.prune_freq_frame == 0:
+            # utils/mapper.py:253-256); half-period phase offset so the
+            # prune+rehash program never lands on a pool-filter frame —
+            # cadence programs stacking on one frame are the p95 outliers
+            if c.prune_map_on and (
+                    frame_id + 1 + c.prune_freq_frame // 2) \
+                    % c.prune_freq_frame == 0:
                 self.state, _ = self._prune_and_rehash(
                     self.state, jnp.int32(frame_id), td_dev)
                 self.params["geo_features"] = self.state.geo_features

@@ -393,102 +393,149 @@ def test_local_map_feature_context_integration():
 
 
 @pytest.mark.slow
-class TestPostClosureBoost:
-    """The post-closure training boost (config.post_loop_iter_boost;
-    consumed in system.process_frame) — the mechanism the reference
-    realizes by simply continuing online training after adjust_map
-    (reference: model/neural_points.py:791-817, utils/mapper.py:600-844)."""
+class TestClosureConsequences:
+    """The loop-closure consequence pipeline, end-to-end and deterministic.
 
-    def _run_slam_until_closure(self, boost):
-        import jax.numpy as jnp
-        from pin_slam_tpu.dataset.synthetic import (
-            SyntheticSequence, circle_trajectory, default_scene,
-            lidar_directions)
-        from pin_slam_tpu.slam.loop import LoopPgoManager
-        from pin_slam_tpu.slam.system import PinSLAMSystem
+    Scenario physics: the sensor truly moves on `gt` (scans are ray-cast
+    from the TRUE poses), while the system is fed `drifted` poses (mapping
+    mode stands in for drifting odometry — no tracking feedback loop, so
+    the scenario can't diverge and the run is reproducible). The map it
+    builds is the scene warped by the injected drift; the closure must
+    detect the revisit, refine the loop transform against the (near-true)
+    early map, optimize the graph, elastically deform map + pool, schedule
+    the post_loop_iter_boost, and the next mapped frame must consume it
+    (system.process_frame's run_training; reference: pin_slam.py:281-348,
+    model/neural_points.py:791-817)."""
+
+    N = 60
+
+    def _setup(self):
+        from pin_slam_tpu.dataset.synthetic import circle_trajectory
 
         cfg = Config()
-        cfg.track_on = True
+        cfg.track_on = False
         cfg.pgo_on = True
         cfg.max_range = 60.0
         cfg.min_range = 0.5
         cfg.vox_down_m = 0.12
-        cfg.source_vox_down_m = 0.5
         cfg.voxel_size_m = 0.3
         cfg.sigma_sigmoid_m = 0.05
         cfg.surface_sample_range_m = 0.25
-        cfg.bs = 4096
-        cfg.iters = 8
-        cfg.init_iter_ratio = 20
-        cfg.bs_new_sample = 1024
-        cfg.reg_iter_n = 25
+        cfg.bs = 2048
+        cfg.iters = 5
+        cfg.init_iter_ratio = 10
+        cfg.bs_new_sample = 512
+        cfg.reg_iter_n = 30
         cfg.map_capacity = 1 << 16
         cfg.buffer_size = 1 << 19
         cfg.frame_point_cap = 1 << 13
         cfg.source_point_cap = 1 << 11
         cfg.max_frames = 64
         cfg.pgo_freq = 8
-        cfg.post_loop_iter_boost = boost
+        cfg.post_loop_iter_boost = 12
         cfg.silence = True
         cfg.finalize()
         cfg.pool_capacity = 1_000_000
-        # scene-scaled gates (as eval/eval_gauntlet.py): travel window
-        # ~25 m, loop candidates after ~34 m of the ~41 m lap
         cfg.local_map_travel_dist_ratio = 0.4
         cfg.min_loop_travel_dist_ratio = 0.45
         cfg.use_mid_ts = True
 
-        n_frames = 56
-        seq = SyntheticSequence(
-            scene_sdf=default_scene(half_extent=(16.0, 12.0, 4.0)),
-            poses=circle_trajectory(n_frames, radius=6.0, revolutions=1.3,
-                                    ease_in_frames=4),
-            dirs=lidar_directions(256, 16), max_range=60.0)
+        n = self.N
+        scene = default_scene(half_extent=(16.0, 12.0, 4.0))
+        gt = circle_trajectory(n, radius=6.0, revolutions=1.3,
+                               ease_in_frames=4)
+        drifted = gt.copy()
+        for i in range(1, n):
+            # body-frame odometry drift (right-multiplied): ~0.12 m /
+            # 2 deg at the revisit — the cm-to-dm regime a loop cadence
+            # actually produces and the GM-kernel refinement is built for
+            # (dm-to-m initial error throws the registration outside its
+            # robust-kernel basin: measured under-correction 0.095 of
+            # 0.29 m at 14 deg — that regime is a lost tracker's, handled
+            # by reboot, not by loop closure)
+            th = 0.0008 * i
+            D = np.eye(4)
+            D[:2, :2] = [[np.cos(th), -np.sin(th)],
+                         [np.sin(th), np.cos(th)]]
+            D[0, 3] = 0.0028 * i
+            drifted[i] = gt[i] @ D
+        # physical truth: scans ray-cast from the TRUE poses
+        seq = SyntheticSequence(scene_sdf=scene, poses=gt,
+                                dirs=lidar_directions(256, 16),
+                                max_range=60.0)
+        return cfg, scene, gt, drifted, seq
+
+    def test_closure_detects_corrects_and_consumes_boost(self):
+        import jax.numpy as jnp
+        from pin_slam_tpu.slam import map_query as mq
+        from pin_slam_tpu.slam.loop import LoopPgoManager
+        from pin_slam_tpu.slam.system import PinSLAMSystem
+        from pin_slam_tpu.utils.eval_traj import absolute_error
+
+        cfg, scene, gt, drifted, seq = self._setup()
+        n = self.N
         system = PinSLAMSystem(cfg)
+        system.set_gt_poses(drifted)
         loop_mgr = LoopPgoManager(cfg, system)
 
-        pending_seen = 0
         closure_frame = None
-        for fid in range(n_frames):
+        pending_seen = 0
+        for fid in range(n):
             pts = seq.frame(fid)
             hook = (lambda f, _p=pts: loop_mgr.after_frame(f, _p))
+            if closure_frame is not None and fid == closure_frame + 1:
+                # post-PGO the trajectory estimate is the corrected chain
+                # (+ ~the true poses for the remainder)
+                corrected = gt.copy()
+                pg = loop_mgr.pgm.pgo_poses
+                corrected[: min(len(pg), fid)] = pg[: min(len(pg), fid)]
+                system.gt_poses = corrected
+                hook = None                        # one clean train frame
             system.process_frame(fid, pts, loop_hook=hook)
             if system.post_loop_iter_boost_pending > 0:
                 pending_seen = system.post_loop_iter_boost_pending
                 closure_frame = fid
-        return (system, loop_mgr, seq, pending_seen, closure_frame,
-                n_frames)
+            if closure_frame is not None and fid > closure_frame:
+                break
 
-    def test_closure_sets_and_consumes_boost(self):
-        (system, loop_mgr, seq, pending_seen, closure_frame,
-         n_frames) = self._run_slam_until_closure(boost=12)
-        assert loop_mgr.pgo_count >= 1, "no loop closed on the 1.12-lap run"
-        assert closure_frame is not None and pending_seen == 12, \
-            "closure did not schedule the boost"
-        assert closure_frame < n_frames - 1, "closure only on last frame"
-        # consumed by the next mapped frame's training dispatch
+        assert loop_mgr.pgo_count >= 1, "no closure on the 1.3-lap revisit"
+        assert pending_seen == 12, "closure did not schedule the boost"
+        assert closure_frame < n - 1
+        # consumed by the next mapped frame's training
         assert system.post_loop_iter_boost_pending == 0
 
+        # Mechanics-level pose sanity only. Registration ACCURACY is not
+        # asserted at this scan density: the loop-frame map here is one
+        # sparse 256x16 scan, whose IDW-interpolated SDF is too soft to
+        # recover the last ~2 deg of rotation (measured: refined rel
+        # consistently under-rotates by ~the injected drift). The
+        # accuracy evidence lives in the committed TPU gauntlet artifacts
+        # (eval/gauntlet_results.json: 12/12 closures, ATE 3.6 cm on
+        # 512x32 scans); this test pins the PIPELINE: detection fired,
+        # refinement+budget gates passed, the graph solved, and the
+        # elastic consequences below are consistent.
+        m = closure_frame + 1
+        ate_drift, _ = absolute_error(gt[:m], drifted[:m], False)
+        ate_pgo, _ = absolute_error(gt[:m], loop_mgr.pgm.pgo_poses[:m],
+                                    False)
+        assert np.isfinite(ate_pgo) and ate_pgo < 2.0 * ate_drift + 0.05
 
+        # ... and the deformed map must sit on the true scene: |scene sdf|
+        # at the alive map points collapses vs the pre-closure warp scale
+        mp = np.asarray(system.state.positions[: int(system.state.count)])
+        med = float(np.median(np.abs(scene(mp[::5].astype(np.float64)))))
+        assert med < 0.06, med
 
 
 @pytest.mark.slow
 def test_deform_pool_transform_continued_training_fix_drifted_map():
-    """The closure-consequence pipeline end-to-end, deterministic:
-    mapping with deliberately drifted poses -> hand-built PGO correction
-    (what a perfect loop edge yields) -> production deform_map + rehash +
+    """The closure-consequence ops in isolation (hand-built exact PGO
+    correction, no detector): mapping with drifted believed poses over
+    scans rendered from TRUE poses -> production deform_map + rehash +
     ts-indexed pool transform -> one more mapped frame whose training
-    consumes the scheduled post_loop_iter_boost. The SDF error at the TRUE
-    surface in the strongly-corrected region must collapse: the map is only
-    fixable because per-point deformation moves geometry AND the realigned
-    pool lets training keep improving it (reference:
-    model/neural_points.py:791-817, utils/mapper.py:600-844).
-
-    Measured here (and why the assertion is shaped this way): the one-shot
-    iteration boost itself is nearly neutral at this scale (|sdf| 1.92 cm
-    boost=0 vs 1.85 cm boost=10 vs 2.30 cm boost=50 on this scene) — the
-    post-closure error is dominated by the deformation correction, not by
-    extra same-frame iterations."""
+    consumes the scheduled boost. The SDF error at the TRUE surface in the
+    strongly-drifted region must collapse (reference:
+    model/neural_points.py:791-817, utils/mapper.py:600-844)."""
     import jax
     import jax.numpy as jnp
     from pin_slam_tpu.dataset.synthetic import circle_trajectory
@@ -531,29 +578,26 @@ def test_deform_pool_transform_continued_training_fix_drifted_map():
         D[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
         D[0, 3] = 0.015 * i
         drifted[i] = D @ gt[i]
-    seq = SyntheticSequence(scene_sdf=scene, poses=drifted,
+    # scans from the TRUE poses; the system believes the drifted chain,
+    # so its map is the scene warped by up to ~11 deg / 0.6 m
+    seq = SyntheticSequence(scene_sdf=scene, poses=gt,
                             dirs=lidar_directions(256, 16), max_range=60.0)
-    seq_true = SyntheticSequence(scene_sdf=scene, poses=gt,
-                                 dirs=lidar_directions(256, 16),
-                                 max_range=60.0)
 
     system = PinSLAMSystem(cfg)
     system.set_gt_poses(drifted)
     for fid in range(n - 1):
         system.process_frame(fid, seq.frame(fid))
 
-    # probes at the TRUE surface in the strongly-corrected region: the
-    # geometry observed at frames 33-37 carries up to ~0.55 m / 10 deg of
-    # injected drift
+    # probes: TRUE surface points seen by the strongly-drifted frames
+    # (raw world frame — mapping mode builds the map in the same frame
+    # as the poses it is fed)
     rs = np.random.RandomState(3)
-    pw = []
+    probes = []
     for fid in (33, 35, 37):
-        pts = seq_true.frame(fid)[:, :3]
+        pts = seq.frame(fid)[:, :3]
         w = pts @ gt[fid][:3, :3].T + gt[fid][:3, 3]
-        pw.append(w[rs.permutation(len(w))[:2000]])
-    pw = np.concatenate(pw)
-    A0inv = np.linalg.inv(drifted[0])
-    probes = (pw @ A0inv[:3, :3].T + A0inv[:3, 3]).astype(np.float32)
+        probes.append(w[rs.permutation(len(w))[:2000]])
+    probes = np.concatenate(probes).astype(np.float32)
 
     def sdf_err(s):
         out = mq.query_decode(
@@ -561,14 +605,14 @@ def test_deform_pool_transform_continued_training_fix_drifted_map():
             jnp.asarray(probes), s.qp)
         sdf = np.asarray(out.sdf)
         ok = np.asarray(out.nn_count) >= 6
-        return float(np.abs(sdf[ok]).mean()), float(ok.mean())
+        return (float(np.abs(sdf[ok]).mean()) if ok.any() else np.inf,
+                float(ok.mean()))
 
     err_pre, cov_pre = sdf_err(system)
 
-    # hand-built exact correction diffs (drifted -> gt, in the anchor frame)
+    # exact correction: what PGO outputs for a perfect loop edge
     diffs_np = np.stack(
-        [(A0inv @ gt[i]) @ np.linalg.inv(A0inv @ drifted[i])
-         for i in range(n)]
+        [gt[i] @ np.linalg.inv(drifted[i]) for i in range(n)]
         + [np.eye(4)] * (cfg.max_frames - n))
     diffs = jnp.asarray(diffs_np, jnp.float32)
     system.state = jax.jit(
@@ -582,18 +626,14 @@ def test_deform_pool_transform_continued_training_fix_drifted_map():
     system._cur_lset = None
     system._map_deformed = True
     system.post_loop_iter_boost_pending = cfg.post_loop_iter_boost
-    system.gt_poses = np.stack([A0inv @ gt[i] for i in range(n)])
+    system.gt_poses = gt            # corrected trajectory
 
-    # final frame rendered from the TRUE pose; its training consumes the
-    # boost (system.process_frame's run_training)
-    system.process_frame(n - 1, seq_true.frame(n - 1))
+    system.process_frame(n - 1, seq.frame(n - 1))
     assert system.post_loop_iter_boost_pending == 0
 
     err_post, cov_post = sdf_err(system)
-    # pre-closure, the map geometry sits up to ~0.55 m from the TRUE
-    # surface: most probes have no neighbors at all — low coverage IS the
-    # drift. The deformation must move geometry back into place (coverage
-    # recovers) and leave a sharp SDF there.
-    assert cov_post > 0.7, (cov_pre, cov_post)
-    assert cov_post > cov_pre + 0.3, (cov_pre, cov_post)
+    # pre-closure the map near these probes is offset by ~0.5 m (low
+    # coverage / large |sdf|); the correction must put geometry back
+    assert cov_post > 0.8, (cov_pre, cov_post)
     assert err_post < 0.06, (err_pre, err_post)
+    assert (err_post < 0.7 * err_pre) or cov_pre < 0.5, (err_pre, err_post)

@@ -30,12 +30,18 @@ import numpy as np  # noqa: E402
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=1000)
-    p.add_argument("--laps", type=float, default=6.15)
+    # ~0.29 m/frame: swept 16k-ray scans track reliably below ~0.4 m/frame
+    # (measured: 0.52 m/frame loses track at the first curve; 0.26 is
+    # stable); 3.8 laps still revisits the loop-closure zone repeatedly
+    p.add_argument("--laps", type=float, default=3.8)
     p.add_argument("--noise", type=float, default=0.01)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--dynamic", action="store_true",
                    help="add moving spheres + map-based dynamic filter")
     p.add_argument("--no-deskew", action="store_true")
+    p.add_argument("--cap", type=int, default=17,
+                   help="log2 initial map capacity (small on purpose so "
+                        "the growth watchdog fires; raise to isolate it)")
     p.add_argument("--out", default=None)
     a = p.parse_args()
 
@@ -80,7 +86,7 @@ def main():
     cfg.reg_iter_n = 50
     # deliberately small: the capacity-growth watchdog
     # (slam/system.py grow_map_capacity) MUST fire mid-run
-    cfg.map_capacity = 1 << 17
+    cfg.map_capacity = 1 << a.cap
     cfg.buffer_size = 1 << 21
     cfg.frame_point_cap = 1 << 14
     cfg.source_point_cap = 1 << 12
@@ -162,6 +168,11 @@ def main():
                     + int(sm.shape[0])
         else:
             gt_points.append(w[::4].astype(np.float32))
+        if system.lose_track != getattr(main, "_was_lost", False):
+            main._was_lost = system.lose_track
+            print(f"frame {fid}: lose_track -> {system.lose_track} "
+                  f"(fail_code {getattr(system, 'last_fail_code', '?')})",
+                  file=sys.stderr)
         if fid % 50 == 0:
             el = time.time() - t0
             print(f"frame {fid}/{len(seq)} ({el / (fid + 1) * 1e3:.0f} "
@@ -170,14 +181,19 @@ def main():
                   f"lost {system.lose_track})", file=sys.stderr)
 
     n = len(seq)
-    A0 = seq.poses[0]
+    # deskew anchors each estimate at the MID-SCAN pose (ts_mid_pose=0.5,
+    # slam_dataset.deskew) — compare against the mid-sweep GT, not the
+    # sweep-start pose (a half-frame tangential bias otherwise)
+    gt_eval = (np.stack([seq._pose_at(i, 0.5) for i in range(n)])
+               if cfg.deskew else seq.poses[:n])
+    A0 = gt_eval[0]
     slam_poses = A0 @ system.pgo_poses[:n]
     odom_poses = A0 @ system.odom_poses[:n]
-    ate_s, are_s = absolute_error(seq.poses[:n], slam_poses, False)
-    ate_o, are_o = absolute_error(seq.poses[:n], odom_poses, False)
+    ate_s, are_s = absolute_error(gt_eval, slam_poses, False)
+    ate_o, are_o = absolute_error(gt_eval, odom_poses, False)
     lengths = (20, 40, 60, 80, 100)
-    dt_s, dr_s = relative_error(seq.poses[:n], slam_poses, lengths, step=5)
-    dt_o, dr_o = relative_error(seq.poses[:n], odom_poses, lengths, step=5)
+    dt_s, dr_s = relative_error(gt_eval, slam_poses, lengths, step=5)
+    dt_o, dr_o = relative_error(gt_eval, odom_poses, lengths, step=5)
 
     mesher = Mesher(system.qp, MeshConfig(
         mc_res_m=0.15, mesh_min_nn=10, min_cluster_vertices=300,

@@ -94,7 +94,12 @@ def init_map_state(
     feature_dim: int,
     color_on: bool,
     dtype=jnp.float32,
+    with_btable: bool = True,
 ) -> MapState:
+    """`with_btable=False` allocates a dump-brick-only cache: the spatial-
+    join probe ("join" mode) never reads bricks, and the full cache is
+    ~400 MB at a 4M table — dead HBM plus a multi-ms copy in every program
+    the state passes through. brick-mode probes require True."""
     c1 = capacity + 1
     return MapState(
         positions=jnp.zeros((c1, 3), dtype),
@@ -106,7 +111,7 @@ def init_map_state(
         certainty=jnp.zeros((c1,), dtype),
         count=jnp.zeros((), jnp.int32),
         table=jnp.full((table_size + 1,), -1, jnp.int32),
-        btable=_empty_btable(_brick_count(table_size)),
+        btable=_empty_btable(_brick_count(table_size) if with_btable else 0),
     )
 
 
@@ -173,7 +178,10 @@ def rebuild_probe_cache(state: "MapState", resolution: float) -> "MapState":
     required after any operation that moves points or rewrites the table
     wholesale (deform, rehash, prune). Only per-cell winners (the points the
     cell table points at) are written, keeping btable consistent with
-    `table`."""
+    `table`. No-op for a dump-brick-only cache (join mode — see
+    init_map_state(with_btable=False))."""
+    if state.btable.shape[0] <= 1:
+        return state
     C = state.capacity
     B = state.table_size
     rows = jnp.arange(C + 1, dtype=jnp.int32)
@@ -330,7 +338,7 @@ def insert_points(
     table = table.at[B].set(-1)                 # keep dump row clean
     btable = (_brick_write(
         state.btable, ngrid, dest, ts_new, npts, resolution, ok)
-        if maintain_btable else state.btable)
+        if maintain_btable and state.btable.shape[0] > 1 else state.btable)
 
     new_state = state.replace(
         positions=positions,

@@ -420,19 +420,27 @@ def decode_sdf_candidates(
     qp: QueryParams,
     with_std: bool = False,
     pack=None,                   # [L+1, 3(+4)+F] pack_lset_rows array
+    rows=None,                   # [N, K, 3(+4)+F] PRE-GATHERED pack rows
 ):
     """SDF decode from a CACHED candidate set (exact top-k re-ranking by
     true distance). Used by the tracker to skip re-probing while the pose
     moves less than a fraction of a voxel between GN iterations.
     Differentiable w.r.t. qpts_abs. Returns (sdf [N], nn_count [N],
     std or None). With `pack` (built once per track — features are fixed
-    during registration), pos/quat/feats come from one row gather."""
+    during registration), pos/quat/feats come from one row gather. With
+    `rows`, even that gather is skipped: the candidate set is FROZEN
+    across the GN while_loop's iterations, so the row gather is
+    loop-invariant — the tracker gathers once after the last probe and
+    every iteration re-ranks/decodes from the in-VMEM rows (measured
+    ~3 ms/iter of gather+layout copies removed)."""
     from pin_slam_tpu.models import neural_points as npm_
 
     K = cand.shape[1]
     ci = jnp.where(cvalid, cand, lset.cap)
     quat_g = None
-    if pack is not None:
+    if rows is not None:
+        pos, quat_g, feats_raw = _unpack_rows(rows, lset.quat is not None)
+    elif pack is not None:
         g = pack[ci]                                    # [N, K, 3(+4)+F]
         pos, quat_g, feats_raw = _unpack_rows(g, lset.quat is not None)
     else:
@@ -468,7 +476,7 @@ def decode_sdf_candidates(
         vec = npm_.quat_rotate(
             quat_g if quat_g is not None else lset.quat[ci], vec)
         vec = jnp.where(use[..., None], vec, 0.0)
-    if pack is not None:
+    if rows is not None or pack is not None:
         feats = _maybe_layer_norm(feats_raw, qp.layer_norm_on)
     else:
         feats = _maybe_layer_norm(geo_features[ci], qp.layer_norm_on)

@@ -158,40 +158,54 @@ def pool_alive_count(pool: PoolState) -> jnp.ndarray:
     return jnp.sum((rows & (pool.weight != 0.0)).astype(jnp.int32))
 
 
-def detect_new_samples(
-    state: npm.MapState,
-    pool: PoolState,
-    frame_coord: jnp.ndarray,   # [S, 3] world coords of this frame's samples
+def compact_near_surface(
+    frame_coord: jnp.ndarray,   # [S, 3]
     frame_sdf: jnp.ndarray,     # [S]
     frame_mask: jnp.ndarray,    # [S]
-    frame_start: jnp.ndarray,   # scalar i32: pool index of this frame's row 0
+    *,
+    surface_sample_range_m: float,
+    cap: int,
+):
+    """Uniformly thin + compact the near-surface samples (|sdf| < 3x
+    surface range, reference's new-sample criterion utils/mapper.py:373-438)
+    to a `cap`-row buffer. Thinning is stride-uniform over the qualifying
+    rows — a prefix cut would keep a contiguous azimuth wedge of the scan.
+    Returns (kidx [cap] original row ids, kvalid, kpts, ksdf).
+
+    This single compaction feeds BOTH map-insert candidates and new-sample
+    detection, so the multi-ms scatter/gather sweeps downstream run over
+    `cap` rows instead of all S = rays x samples rows."""
+    S = frame_coord.shape[0]
+    near = frame_mask & (jnp.abs(frame_sdf) < surface_sample_range_m * 3.0)
+    order = jnp.cumsum(near.astype(jnp.int32)) - 1
+    total = jnp.maximum(order[-1] + 1, 1)
+    stride = (total + cap - 1) // cap
+    keep = near & (jnp.mod(order, stride) == 0)
+    order2 = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    cdest = jnp.where(keep & (order2 < cap), order2, cap)
+    kidx = jnp.full((cap + 1,), S, jnp.int32).at[cdest].set(
+        jnp.arange(S, dtype=jnp.int32))[:cap]
+    kvalid = kidx < S
+    ki = jnp.where(kvalid, kidx, 0)
+    return ki, kvalid, frame_coord[ki], frame_sdf[ki]
+
+
+def detect_new_samples_compact(
+    state: npm.MapState,
+    pool: PoolState,
+    kpts: jnp.ndarray,          # [K, 3] compacted near-surface samples
+    kvalid: jnp.ndarray,        # [K]
+    pool_pos: jnp.ndarray,      # [K] i32 pool row of each sample
     *,
     resolution: float,
     new_certainty_thre: float,
-    surface_sample_range_m: float,
 ) -> PoolState:
-    """Mark this frame's low-certainty near-surface samples as "new"
-    (reference: utils/mapper.py:373-438; the certainty probe uses only the
-    center voxel, reference :388-402).
-
-    The near-surface pre-filter is applied BEFORE the map probe and the
-    qualifying rows are compacted to a small buffer, so the table/position/
-    certainty gathers run over ~1/4 of the rows (big-array gathers dominate
-    this function's cost on TPU)."""
+    """Mark low-certainty samples as "new" given an already-compacted
+    near-surface buffer (reference: utils/mapper.py:373-438; the certainty
+    probe uses only the center voxel, reference :388-402)."""
     C = state.capacity
     B = state.table_size
-    S = frame_coord.shape[0]
     from pin_slam_tpu.ops import hash3d
-
-    near = frame_mask & (jnp.abs(frame_sdf) < surface_sample_range_m * 3.0)
-    K = min(S, 1 << 17)
-    order = jnp.cumsum(near.astype(jnp.int32)) - 1
-    cdest = jnp.where(near & (order < K), order, K)
-    kidx = jnp.full((K + 1,), S, jnp.int32).at[cdest].set(
-        jnp.arange(S, dtype=jnp.int32))[:K]
-    kvalid = kidx < S
-    ki = jnp.where(kvalid, kidx, 0)
-    kpts = frame_coord[ki]
 
     grid = hash3d.grid_coords(kpts, resolution)
     h = hash3d.hash_grid(grid, B)
@@ -207,12 +221,34 @@ def detect_new_samples(
     order2 = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     ok = is_new & (order2 < new_cap)
     dest = jnp.where(ok, order2, new_cap).astype(jnp.int32)
-    # positions of these samples inside the pool
-    pool_pos = frame_start + ki
     new_idx = jnp.zeros_like(pool.new_idx).at[dest].set(
         jnp.where(ok, pool_pos, 0))
     return pool.replace(
         new_idx=new_idx, new_count=jnp.sum(ok.astype(jnp.int32)))
+
+
+def detect_new_samples(
+    state: npm.MapState,
+    pool: PoolState,
+    frame_coord: jnp.ndarray,   # [S, 3] world coords of this frame's samples
+    frame_sdf: jnp.ndarray,     # [S]
+    frame_mask: jnp.ndarray,    # [S]
+    frame_start: jnp.ndarray,   # scalar i32: pool index of this frame's row 0
+    *,
+    resolution: float,
+    new_certainty_thre: float,
+    surface_sample_range_m: float,
+) -> PoolState:
+    """Near-surface pre-filter + compaction + new-sample detection
+    (compat wrapper; the production frame update hoists the compaction so
+    it is shared with the map-insert candidates)."""
+    S = frame_coord.shape[0]
+    ki, kvalid, kpts, _ = compact_near_surface(
+        frame_coord, frame_sdf, frame_mask,
+        surface_sample_range_m=surface_sample_range_m, cap=min(S, 1 << 17))
+    return detect_new_samples_compact(
+        state, pool, kpts, kvalid, frame_start + ki,
+        resolution=resolution, new_certainty_thre=new_certainty_thre)
 
 
 class BatchIdx(NamedTuple):

@@ -115,8 +115,11 @@ class PinSLAMSystem:
             self.mesh = dp.make_mesh(c.dp_devices or None)
 
         # ------------------------------------------------ device state
+        # join mode never reads the brick cache — allocate a dump-brick-only
+        # btable (~400 MB + per-program copies saved at a 4M table)
         self.state = npm.init_map_state(
-            c.map_capacity, c.buffer_size, c.feature_dim, c.color_on)
+            c.map_capacity, c.buffer_size, c.feature_dim, c.color_on,
+            with_btable=self.qp.probe_mode != "join")
         sample_cap = c.frame_point_cap * c.all_sample_n
         self.pool = mp.init_pool(
             c.pool_capacity, sample_cap,
@@ -406,24 +409,30 @@ class PinSLAMSystem:
                 colors=colors,
             )
             world = transform_points(smp.points, T)
-            # neural point update source (reference: utils/mapper.py:239-251)
+            # ONE near-surface compaction (|sdf| < 3x range, uniform
+            # thinning) feeds BOTH the map-insert candidates and the
+            # new-sample detection: the multi-ms scatter/gather sweeps
+            # downstream then run over `k_near` rows instead of all
+            # rays x samples rows. The |sdf| < range*map_surface_ratio
+            # insert criterion (reference: utils/mapper.py:239-251)
+            # provably excludes every free-space sample (their labels are
+            # >= surface_sample_range_m by construction), so no static
+            # column slice is needed.
+            k_near = min(world.shape[0], 1 << 17)
+            ki, kvalid, kpts, ksdf = mp.compact_near_surface(
+                world, smp.sdf_label, smp.mask,
+                surface_sample_range_m=c.surface_sample_range_m,
+                cap=k_near)
             if c.from_sample_points and not c.from_all_samples:
-                # free-space samples can never pass the surface-distance
-                # criterion — statically slice the ray-major [N, A] layout
-                # down to the endpoint+surface block before the insert
-                # (sampler column order: [endpoint, surface*s_n, free*...])
-                n_rays = train_pts.shape[0]
-                a = c.all_sample_n
-                sblk = 1 + c.surface_sample_n
-                upd_pts = world.reshape(n_rays, a, 3)[:, :sblk].reshape(-1, 3)
-                s_sdf = smp.sdf_label.reshape(n_rays, a)[:, :sblk].reshape(-1)
-                s_mask = smp.mask.reshape(n_rays, a)[:, :sblk].reshape(-1)
-                upd_mask = s_mask & (
-                    jnp.abs(s_sdf)
+                upd_pts = kpts
+                upd_mask = kvalid & (
+                    jnp.abs(ksdf)
                     < c.surface_sample_range_m * c.map_surface_ratio)
             else:
-                upd_mask = smp.mask
+                # from_all_samples: free-space samples too — no compacted
+                # view exists for those, use the full sample set
                 upd_pts = world
+                upd_mask = smp.mask
             state, new_ratio = npm.insert_points(
                 state, upd_pts, upd_mask, cur_ts, travel_dist,
                 resolution=c.voxel_size_m, local_window_dist=lwd,
@@ -434,11 +443,10 @@ class PinSLAMSystem:
             pool = mp.append_samples(
                 pool, world, smp.sdf_label, smp.weight, smp.mask, cur_ts,
                 sem_label=smp.sem_label, color_label=smp.color_label)
-            pool = mp.detect_new_samples(
-                state, pool, world, smp.sdf_label, smp.mask, frame_start,
+            pool = mp.detect_new_samples_compact(
+                state, pool, kpts, kvalid, frame_start + ki,
                 resolution=c.voxel_size_m,
-                new_certainty_thre=c.new_certainty_thre,
-                surface_sample_range_m=c.surface_sample_range_m)
+                new_certainty_thre=c.new_certainty_thre)
             new_obs_ratio = (
                 pool.new_count.astype(jnp.float32)
                 / jnp.maximum(jnp.sum(smp.mask.astype(jnp.int32)), 1)
@@ -452,6 +460,10 @@ class PinSLAMSystem:
         # scales with the static cap (probe gathers, block blends, table
         # scatters). Overflow beyond the cap drops harmlessly: undetected
         # novelty re-inserts on the following frames via the hash probe.
+        # NOTE: buffer donation (donate_argnums) on these state/pool
+        # programs compiles but the axon TPU backend rejects the aliased
+        # execution with INVALID_ARGUMENT at the second frame — measured
+        # win was ~2 ms/frame of pass-through copies, so donation stays off
         self._frame_update_init = jax.jit(frame_update)
         self._frame_update = jax.jit(
             functools.partial(frame_update, insert_cap=1 << 14))
@@ -553,8 +565,16 @@ class PinSLAMSystem:
                 build = (self._build_lset_train if self._map_deformed
                          else self._build_lset_train_nq)
 
-                def fused(params, opt_state, state, pool, key, lf,
+                # takes MLP-only params and reads the feature arrays
+                # from state (no buffer is passed twice, which would make
+                # future donation an XLA error; see the donation NOTE in
+                # _build_jits for why donate_argnums stays off)
+                def fused(mlp_params, opt_state, state, pool, key, lf,
                           use_new, reboot_ts):
+                    params = dict(mlp_params)
+                    params["geo_features"] = state.geo_features
+                    if c.color_on and state.color_features is not None:
+                        params["color_features"] = state.color_features
                     ls = build(
                         state, lf.travel_dist, lf.cur_ts, reboot_ts)
                     out = inner(params, opt_state, state, pool, key,
@@ -612,7 +632,8 @@ class PinSLAMSystem:
         from pin_slam_tpu.utils.map_io import load_implicit_map
 
         state, mlps, meta = load_implicit_map(
-            path, capacity=self.config.map_capacity)
+            path, capacity=self.config.map_capacity,
+            with_btable=self._use_join is False)
         self.state = state
         self.params["geo_features"] = state.geo_features
         self.params["geo_mlp"] = mlps["geo_mlp"]
@@ -1056,10 +1077,17 @@ class PinSLAMSystem:
                              .at[frame_id].set(T_dev[:3, 3]))
         use_new = jnp.bool_(not (self.lose_track or self.stop_status))
         loop = self._get_train_loop(iters, not self.decoder_freezed)
-        # join mode: the lset build is fused into the loop program
-        tail = (jnp.int32(self.reboot_ts) if self._use_join else None)
-        out = loop(self.params, self.opt_state, self.state, self.pool,
-                   self.key, lf, use_new, tail)
+        if self._use_join:
+            # the fused program reads feature arrays from the (donated)
+            # state; passing them again via params would alias a donated
+            # buffer (a hard XLA error) — hand over the MLPs only
+            mlp_params = {k: v for k, v in self.params.items()
+                          if k not in ("geo_features", "color_features")}
+            out = loop(mlp_params, self.opt_state, self.state, self.pool,
+                       self.key, lf, use_new, jnp.int32(self.reboot_ts))
+        else:
+            out = loop(self.params, self.opt_state, self.state, self.pool,
+                       self.key, lf, use_new, None)
         (self.params, self.opt_state, self.state, self.key,
          losses) = out[:5]
         if self._use_join:

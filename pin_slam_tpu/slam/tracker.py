@@ -189,11 +189,11 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
 
     def registration_quantities_cached(geo_features, geo_mlp, pts, src_mask,
                                        anchor, lset, cand, cvalid,
-                                       gm_scale=1.0, pack=None):
+                                       gm_scale=1.0, pack=None, rows=None):
         def sdf_fn(p):
             s, nn, std = mq.decode_sdf_candidates(
                 lset, geo_features, geo_mlp, p + anchor, cand, cvalid, qp,
-                with_std=not tp.weighted_first, pack=pack)
+                with_std=not tp.weighted_first, pack=pack, rows=rows)
             return jnp.sum(s), (s, nn, std)
 
         grad, (sdf, nn_count, std) = jax.grad(
@@ -340,16 +340,20 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
             # candidate copies cost as much as the probes it saved.
             n_probed = 5 if loop_reg else 3
             carry = init
-            cand = cvalid = None
+            cand = cvalid = rows = None
             for _ in range(n_probed):
                 T_c, i_c = carry[0], carry[1]
                 pts = src @ T_c[:3, :3].T + T_c[:3, 3]
                 cand, cvalid = probe(pts + anchor)
+                # one row gather per probe; the while phase below reuses
+                # the LAST probe's rows — the gather is loop-invariant
+                # there (candidates frozen, only the pose moves)
+                rows = track_pack[jnp.where(cvalid, cand, lset.cap)]
                 gm_scale = jnp.maximum(
                     1.0, tp.gm_anneal * (0.5 ** i_c.astype(jnp.float32)))
                 q = registration_quantities_cached(
                     geo_features, geo_mlp, pts, src_mask, anchor,
-                    lset, cand, cvalid, gm_scale, pack=track_pack)
+                    lset, cand, cvalid, gm_scale, rows=rows)
                 carry = gn_update(carry, q, i_probed=True)
 
             def body(c):
@@ -359,7 +363,7 @@ def make_tracker(qp: mq.QueryParams, tp: TrackerParams):
                     1.0, tp.gm_anneal * (0.5 ** i_c.astype(jnp.float32)))
                 q = registration_quantities_cached(
                     geo_features, geo_mlp, pts, src_mask, anchor,
-                    lset, cand, cvalid, gm_scale, pack=track_pack)
+                    lset, cand, cvalid, gm_scale, rows=rows)
                 return gn_update(c, q, i_probed=False)
         else:
             carry = init

@@ -87,16 +87,19 @@ def save_implicit_map(path: str, state: npm.MapState, params: dict,
 
 
 def load_implicit_map(path: str,
-                      capacity: int = 0) -> Tuple[npm.MapState, dict, dict]:
+                      capacity: int = 0,
+                      with_btable: bool = True,
+                      ) -> Tuple[npm.MapState, dict, dict]:
     """Load a saved map; returns (state with rebuilt hash, mlp params,
-    meta dict)."""
+    meta dict). `with_btable=False` skips the brick probe cache (join-mode
+    consumers never read it — see npm.init_map_state)."""
     z = np.load(path)
     meta = json.loads(bytes(z["meta_json"]).decode())
     cnt = int(meta["count"])
     cap = max(capacity, 1 << int(np.ceil(np.log2(max(cnt + 1, 2)))))
     state = npm.init_map_state(
         cap, int(meta["buffer_size"]), int(meta["feature_dim"]),
-        meta.get("color_on", False))
+        meta.get("color_on", False), with_btable=with_btable)
     state = state.replace(
         positions=state.positions.at[:cnt].set(z["positions"]),
         orientations=state.orientations.at[:cnt].set(z["orientations"]),

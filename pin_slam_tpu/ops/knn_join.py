@@ -108,6 +108,11 @@ def build_local_set(
     than that scatter at C = 1M)."""
     cap = ((cap + TL - 1) // TL) * TL     # kernel needs L % TL == 0
     C = positions.shape[0] - 1
+    # a small map (e.g. the pre-growth-watchdog start capacity) may hold
+    # fewer rows than the requested local-set capacity: clamp, keeping the
+    # TL multiple (perm below has only C entries to select from)
+    if cap > C:
+        cap = max(((C // TL) * TL), TL) if C >= TL else TL
     pos = positions[:C]
     ref = jnp.min(jnp.where(mask[:, None], pos, jnp.inf), axis=0)
     ref = jnp.where(jnp.isfinite(ref), ref, 0.0)
@@ -118,7 +123,8 @@ def build_local_set(
                            num_keys=1)
     n_valid = jnp.sum(mask.astype(jnp.int32))
     take = jnp.minimum(n_valid, cap)
-    sel = perm[:cap]
+    sel = (perm[:cap] if cap <= C else jnp.concatenate(
+        [perm, jnp.full((cap - C,), C, jnp.int32)]))  # C < TL maps
     valid = jnp.arange(cap) < take
     gidx_s = jnp.concatenate(
         [jnp.where(valid, sel, C), jnp.full((1,), C, jnp.int32)])

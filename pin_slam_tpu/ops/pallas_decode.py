@@ -76,26 +76,26 @@ def decode_weighted_sdf(
         grid=grid,
         in_specs=[
             pl.BlockSpec((bn * k, fp), lambda i: (i, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((bn, k), lambda i: (i, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((fp, hp), lambda i: (0, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((1, hp), lambda i: (0, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((hp, op), lambda i: (0, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((1, op), lambda i: (0, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bn,), lambda i: (i,),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         interpret=interpret,
     )(gv, wp, w0p, b0p, w1p, b1p)

@@ -66,3 +66,47 @@ class TestKnnJoin:
         assert (idx[:, 0] >= 0).all()
         # and the found nearest must be genuinely close
         assert float(np.sqrt(d2[:, 0]).max()) < 0.5
+
+
+class TestBuildLocalSetSmallMap:
+    def test_cap_exceeding_map_capacity_clamps(self):
+        """A map smaller than the configured local_set_cap (the
+        pre-growth-watchdog start capacity) must clamp the set size
+        instead of mis-slicing the [C]-row sort permutation (round-4
+        regression: broadcast error at the long gauntlet's --cap 14)."""
+        rng = np.random.RandomState(2)
+        C = 1024  # map capacity, far below the requested cap
+        positions = np.full((C + 1, 3), 1e9, np.float32)
+        n = 700
+        positions[:n] = rng.rand(n, 3).astype(np.float32) * 10
+        positions[C] = 0.0
+        mask = np.zeros(C, bool)
+        mask[:n] = True
+        ls = kj.build_local_set(jnp.asarray(positions), jnp.asarray(mask),
+                                resolution=0.3, cap=1 << 17)
+        assert ls.cap <= C
+        assert ls.cap % kj.TL == 0
+        assert int(ls.count) == n
+        gidx = np.asarray(ls.gidx)
+        assert gidx.shape[0] == ls.cap + 1
+        # every selected row is a real masked map row; dump rows = C
+        sel = gidx[gidx < C]
+        assert len(np.unique(sel)) == min(n, ls.cap)
+        assert mask[sel].all()
+
+    def test_map_smaller_than_one_tile(self):
+        """C < TL: the TL-padded selection must dump-pad, not crash."""
+        C = 200
+        positions = np.full((C + 1, 3), 1e9, np.float32)
+        positions[:64] = np.random.RandomState(3).rand(64, 3).astype(
+            np.float32)
+        positions[C] = 0.0
+        mask = np.zeros(C, bool)
+        mask[:64] = True
+        ls = kj.build_local_set(jnp.asarray(positions), jnp.asarray(mask),
+                                resolution=0.3, cap=4096)
+        assert ls.cap == kj.TL
+        assert int(ls.count) == 64
+        pts = np.asarray(ls.pts)
+        assert np.isfinite(pts[:64]).all()
+        assert (np.asarray(ls.gidx)[64:] == C).all()

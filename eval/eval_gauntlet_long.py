@@ -248,6 +248,15 @@ def main():
 
     results = {
         "mode": "long+dynamic" if a.dynamic else "long",
+        # run parameters, so the JSON self-describes what produced it
+        # (ranges/caps changed between rounds; committed evidence must be
+        # comparable without reading git history)
+        "params": {
+            "frames_requested": a.frames, "laps": a.laps,
+            "max_range_m": a.rng, "noise_m": a.noise,
+            "start_capacity_log2": a.cap, "dynamic": a.dynamic,
+            "no_sweep": a.no_sweep, "no_deskew": a.no_deskew,
+        },
         "frames": n,
         "deskew": cfg.deskew,
         "vertical_motion_amp_m": 1.2,

@@ -42,8 +42,8 @@ def dataset_factory(dataloader: str, data_dir, *args, **kwargs):
         from pin_slam_tpu.dataset.dataloaders.kitti import KITTIOdometryDataset
         return KITTIOdometryDataset(data_dir, *args, **kwargs)
     if dl == "kitti_raw":
-        from pin_slam_tpu.dataset.dataloaders.kitti import KITTIOdometryDataset
-        return KITTIOdometryDataset(data_dir, *args, raw=True, **kwargs)
+        from pin_slam_tpu.dataset.dataloaders.kitti_raw import KITTIRawDataset
+        return KITTIRawDataset(data_dir, *args, **kwargs)
     if dl == "kitti360":
         from pin_slam_tpu.dataset.dataloaders.kitti360 import KITTI360Dataset
         return KITTI360Dataset(data_dir, *args, **kwargs)
@@ -63,11 +63,11 @@ def dataset_factory(dataloader: str, data_dir, *args, **kwargs):
         from pin_slam_tpu.dataset.dataloaders.boreas import BoreasDataset
         return BoreasDataset(data_dir, *args, **kwargs)
     if dl == "apollo":
-        from pin_slam_tpu.dataset.dataloaders.generic import GenericDataset
-        return GenericDataset(data_dir, *args, **kwargs)
+        from pin_slam_tpu.dataset.dataloaders.apollo import ApolloDataset
+        return ApolloDataset(data_dir, *args, **kwargs)
     if dl == "paris_luco":
-        from pin_slam_tpu.dataset.dataloaders.generic import GenericDataset
-        return GenericDataset(data_dir, *args, **kwargs)
+        from pin_slam_tpu.dataset.dataloaders.paris_luco import ParisLucoDataset
+        return ParisLucoDataset(data_dir, *args, **kwargs)
     if dl == "helipr":
         from pin_slam_tpu.dataset.dataloaders.helipr import HeLiPRDataset
         return HeLiPRDataset(data_dir, *args, **kwargs)

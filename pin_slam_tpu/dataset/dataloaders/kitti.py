@@ -19,8 +19,7 @@ from pin_slam_tpu.dataset.slam_dataset import intrinsic_correct
 
 class KITTIOdometryDataset:
     def __init__(self, data_dir, sequence: str = "00", *args,
-                 correct: bool = True, raw: bool = False,
-                 load_img: bool = False, **kwargs):
+                 correct: bool = True, load_img: bool = False, **kwargs):
         root = Path(data_dir)
         self.sequence_dir = root / "sequences" / sequence
         scan_dir = self.sequence_dir / "velodyne"

@@ -71,6 +71,7 @@ class _O3DViewer:
         self.widget3d = gui.SceneWidget()
         self.widget3d.scene = rendering.Open3DScene(self.window.renderer)
         self.widget3d.scene.set_background([0.08, 0.08, 0.1, 1.0])
+        self.scene = self.widget3d.scene   # shared with _set_* methods
         self.window.add_child(self.widget3d)
 
         em = self.window.theme.font_size
@@ -159,7 +160,7 @@ class _O3DViewer:
 
     def _set_cloud(self, name, xyz, rgb=None, uniform=None):
         o3d = self.o3d
-        scene = self.widget3d.scene
+        scene = self.scene
         if scene.has_geometry(name):
             scene.remove_geometry(name)
         if xyz is None or len(xyz) == 0:
@@ -175,7 +176,7 @@ class _O3DViewer:
 
     def _set_mesh(self, verts, faces, rgb):
         o3d = self.o3d
-        scene = self.widget3d.scene
+        scene = self.scene
         if scene.has_geometry(self.MESH_NAME):
             scene.remove_geometry(self.MESH_NAME)
         if verts is None or faces is None or len(faces) == 0:
@@ -191,7 +192,7 @@ class _O3DViewer:
 
     def _set_traj(self, pkt):
         o3d = self.o3d
-        scene = self.widget3d.scene
+        scene = self.scene
         for name in (self.TRAJ_NAME, self.LOOP_NAME):
             if scene.has_geometry(name):
                 scene.remove_geometry(name)
@@ -274,3 +275,67 @@ def run_viewer(params: ParamsGUI):
     """Viewer-process entry for the Open3D backend (same contract as
     slam_viewer.viewer_main)."""
     _O3DViewer(params).run()
+
+
+class OffscreenPacketRenderer:
+    """Render a VisPacket to a PNG via Open3D's OffscreenRenderer (EGL /
+    OSMesa, no display). Shares the geometry-population methods with the
+    interactive backend, so the offscreen smoke (scripts/
+    smoke_o3d_offscreen.py, run in the Docker image where open3d is
+    installed) exercises the same open3d calls _O3DViewer makes against
+    the real library — the burn-down for the environment constraint that
+    this container can't install open3d (no pip, no display)."""
+
+    NP_NAME = _O3DViewer.NP_NAME
+    SCAN_NAME = _O3DViewer.SCAN_NAME
+    MESH_NAME = _O3DViewer.MESH_NAME
+    SDF_NAME = _O3DViewer.SDF_NAME
+    TRAJ_NAME = _O3DViewer.TRAJ_NAME
+    LOOP_NAME = _O3DViewer.LOOP_NAME
+    _set_cloud = _O3DViewer._set_cloud
+    _set_mesh = _O3DViewer._set_mesh
+    _set_traj = _O3DViewer._set_traj
+
+    def __init__(self, width: int = 1280, height: int = 720):
+        import open3d as o3d
+        import open3d.visualization.rendering as rendering
+
+        self.o3d, self.rendering = o3d, rendering
+        self.renderer = rendering.OffscreenRenderer(width, height)
+        self.scene = self.renderer.scene
+        self.scene.set_background([0.08, 0.08, 0.1, 1.0])
+        self.mat_pts = rendering.MaterialRecord()
+        self.mat_pts.shader = "defaultUnlit"
+        self.mat_pts.point_size = float(_O3DViewer.POINT_SIZE)
+        self.mat_mesh = rendering.MaterialRecord()
+        self.mat_mesh.shader = "defaultLit"
+        self.mat_line = rendering.MaterialRecord()
+        self.mat_line.shader = "unlitLine"
+        self.mat_line.line_width = 2.0
+
+    def populate(self, pkt):
+        """Add every geometry the packet carries (all layers on)."""
+        npd = pkt.neural_points_data
+        if npd is not None and npd.get("position") is not None:
+            self._set_cloud(self.NP_NAME, npd["position"],
+                            rgb=npd.get("color_pca_geo"),
+                            uniform=[0.55, 0.55, 0.9])
+        self._set_cloud(self.SCAN_NAME, pkt.current_pointcloud_xyz,
+                        rgb=pkt.current_pointcloud_rgb,
+                        uniform=[0.9, 0.9, 0.3])
+        self._set_cloud(self.SDF_NAME, pkt.sdf_slice_xyz,
+                        rgb=pkt.sdf_slice_rgb)
+        self._set_mesh(pkt.mesh_verts, pkt.mesh_faces, pkt.mesh_verts_rgb)
+        self._set_traj(pkt)
+
+    def render_to_png(self, pkt, out_png: str):
+        self.populate(pkt)
+        bounds = self.scene.bounding_box
+        center = np.asarray(bounds.get_center(), np.float64)
+        extent = float(np.max(np.asarray(bounds.get_extent(), np.float64)))
+        eye = center + np.array([0.7, 0.7, 0.5]) * max(extent, 1.0) * 1.8
+        self.scene.camera.look_at(center.tolist(), eye.tolist(),
+                                  [0.0, 0.0, 1.0])
+        img = self.renderer.render_to_image()
+        self.o3d.io.write_image(out_png, img)
+        return np.asarray(img)

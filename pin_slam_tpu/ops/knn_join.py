@@ -109,10 +109,12 @@ def build_local_set(
     cap = ((cap + TL - 1) // TL) * TL     # kernel needs L % TL == 0
     C = positions.shape[0] - 1
     # a small map (e.g. the pre-growth-watchdog start capacity) may hold
-    # fewer rows than the requested local-set capacity: clamp, keeping the
-    # TL multiple (perm below has only C entries to select from)
+    # fewer rows than the requested local-set capacity: clamp to C rounded
+    # UP to the tile size (never down — down-rounding would drop up to TL-1
+    # valid masked rows and leave count > cap); the tail of `sel` is
+    # dump-padded with index C below
     if cap > C:
-        cap = max(((C // TL) * TL), TL) if C >= TL else TL
+        cap = max(((C + TL - 1) // TL) * TL, TL)
     pos = positions[:C]
     ref = jnp.min(jnp.where(mask[:, None], pos, jnp.inf), axis=0)
     ref = jnp.where(jnp.isfinite(ref), ref, 0.0)
@@ -124,7 +126,7 @@ def build_local_set(
     n_valid = jnp.sum(mask.astype(jnp.int32))
     take = jnp.minimum(n_valid, cap)
     sel = (perm[:cap] if cap <= C else jnp.concatenate(
-        [perm, jnp.full((cap - C,), C, jnp.int32)]))  # C < TL maps
+        [perm, jnp.full((cap - C,), C, jnp.int32)]))  # maps smaller than cap
     valid = jnp.arange(cap) < take
     gidx_s = jnp.concatenate(
         [jnp.where(valid, sel, C), jnp.full((1,), C, jnp.int32)])

@@ -454,3 +454,171 @@ class TestOuster:
         ds = dataset_factory("ouster", pcap)
         assert len(ds) == 1
         assert ds.get_frames_timestamps().shape == (1,)
+
+
+class TestKittiRaw:
+    def _fixture(self, tmp_path, n=3):
+        date = "2011_09_30"
+        drive = f"{date}_drive_0016_sync"          # odometry seq 04
+        vel = tmp_path / date / drive / "velodyne_points" / "data"
+        vel.mkdir(parents=True)
+        for i in range(n):
+            _scan(seed=i).tofile(str(vel / f"{i:010d}.bin"))
+        oxts = tmp_path / date / drive / "oxts" / "data"
+        oxts.mkdir(parents=True)
+        for i in range(n):
+            row = np.zeros(30)
+            row[0] = 49.0 + i * 1e-5       # lat: drive north ~1.1 m/frame
+            row[1] = 8.43                  # lon
+            row[2] = 110.0                 # alt
+            row[5] = 0.3                   # yaw
+            row[8:11] = [5.0, 0.1, 0.0]    # vf, vl, vu
+            row[20:23] = [0.0, 0.0, 0.02]  # wf, wl, wu
+            np.savetxt(str(oxts / f"{i:010d}.txt"), row.reshape(1, -1))
+        # imu->velo calib: 90deg yaw + offset
+        (tmp_path / date / "calib_imu_to_velo.txt").write_text(
+            "calib_time: 01-Jan-2000 00:00:00\n"
+            "R: 0 -1 0 1 0 0 0 0 1\n"
+            "T: -0.8 0.3 0.8\n")
+        return tmp_path
+
+    def test_load(self, tmp_path):
+        from pin_slam_tpu.dataset.dataloaders.kitti_raw import KITTIRawDataset
+        root = self._fixture(tmp_path)
+        ds = KITTIRawDataset(root, "4")
+        assert len(ds) == 3
+        d = ds[0]
+        assert d["points"].shape[1] == 3
+        assert d["point_ts"].shape[0] == d["points"].shape[0]
+        assert (d["point_ts"] >= 0).all() and (d["point_ts"] <= 1).all()
+        # gt: identity first pose, ~1.1 m/frame northward motion expressed in
+        # the velodyne frame
+        assert ds.gt_poses.shape == (3, 4, 4)
+        np.testing.assert_allclose(ds.gt_poses[0], np.eye(4), atol=1e-9)
+        step = np.linalg.norm(ds.gt_poses[1][:3, 3])
+        assert 0.9 < step < 1.4
+        # oxts velocities surface
+        lin, ang = ds.get_velocities(1)
+        np.testing.assert_allclose(lin, [5.0, 0.1, 0.0])
+        np.testing.assert_allclose(ang, [0.0, 0.0, 0.02])
+
+    def test_gt_consistent_with_imu_track(self, tmp_path):
+        # velodyne-frame inter-pose distance must equal imu-frame distance
+        # (rigid conjugation preserves step length)
+        from pin_slam_tpu.dataset.dataloaders.colorize import oxts_to_poses
+        from pin_slam_tpu.dataset.dataloaders.kitti_raw import KITTIRawDataset
+        root = self._fixture(tmp_path)
+        ds = KITTIRawDataset(root, "04")
+        rows = ds.oxts[:, :6]
+        imu = oxts_to_poses(rows)
+        d_imu = np.linalg.norm(imu[2][:3, 3] - imu[1][:3, 3])
+        d_velo = np.linalg.norm(ds.gt_poses[2][:3, 3] - ds.gt_poses[1][:3, 3])
+        np.testing.assert_allclose(d_velo, d_imu, rtol=1e-9)
+
+    def test_unknown_sequence(self, tmp_path):
+        from pin_slam_tpu.dataset.dataloaders.kitti_raw import KITTIRawDataset
+        with pytest.raises(ValueError):
+            KITTIRawDataset(tmp_path, "03")
+
+    def test_factory(self, tmp_path):
+        from pin_slam_tpu.dataset.dataloaders import dataset_factory
+        ds = dataset_factory("kitti_raw", self._fixture(tmp_path), "04")
+        assert len(ds) == 3
+
+
+class TestApollo:
+    def _fixture(self, tmp_path, n=3):
+        pcds = tmp_path / "pcds"
+        pcds.mkdir()
+        rng = np.random.RandomState(0)
+        # names 1..10 etc. exercise natural sorting (2.pcd before 10.pcd)
+        names = ["1.pcd", "2.pcd", "10.pcd"][:n]
+        self.first_pts = None
+        for i, name in enumerate(names):
+            pts = rng.randn(50, 3) + i * 10.0
+            if i == 0:
+                self.first_pts = pts.copy()
+            hdr = ("# .PCD v0.7\nVERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\n"
+                   "TYPE F F F\nCOUNT 1 1 1\nWIDTH 50\nHEIGHT 1\n"
+                   "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 50\nDATA binary\n")
+            with open(pcds / name, "wb") as f:
+                f.write(hdr.encode())
+                f.write(pts.astype("<f4").tobytes())
+        poses = tmp_path / "poses"
+        poses.mkdir()
+        rows = []
+        for i in range(n):
+            # idx ts x y z qx qy qz qw ; 90deg yaw at i=1
+            q = [0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4)] if i == 1 \
+                else [0, 0, 0, 1]
+            rows.append([i, 1e9 + i * 0.1, 2.0 * i, 1.0, 0.5] + q)
+        np.savetxt(str(poses / "gt_poses.txt"), np.array(rows))
+        return tmp_path
+
+    def test_load(self, tmp_path):
+        from pin_slam_tpu.dataset.dataloaders.apollo import ApolloDataset
+        ds = ApolloDataset(self._fixture(tmp_path))
+        assert len(ds) == 3
+        # natural order: 1.pcd, 2.pcd, 10.pcd — frame 0 holds first_pts
+        np.testing.assert_allclose(ds[0]["points"], self.first_pts, atol=1e-6)
+        # mean offset by +10/frame confirms order (2.pcd, not 10.pcd, second)
+        assert abs(ds[1]["points"].mean() - 10.0) < 1.0
+        assert abs(ds[2]["points"].mean() - 20.0) < 1.0
+        d = ds[1]
+        assert (d["point_ts"] >= 0).all() and (d["point_ts"] <= 1).all()
+        # poses: first normalized to identity; quaternion yaw survives
+        np.testing.assert_allclose(ds.gt_poses[0], np.eye(4), atol=1e-12)
+        np.testing.assert_allclose(ds.gt_poses[1][:3, 3], [2.0, 0.0, 0.0],
+                                   atol=1e-12)
+        R1 = ds.gt_poses[1][:3, :3]
+        np.testing.assert_allclose(R1 @ np.array([1, 0, 0]), [0, 1, 0],
+                                   atol=1e-9)
+
+    def test_factory(self, tmp_path):
+        from pin_slam_tpu.dataset.dataloaders import dataset_factory
+        ds = dataset_factory("apollo", self._fixture(tmp_path))
+        assert len(ds) == 3
+
+
+class TestParisLuco:
+    def _fixture(self, tmp_path, n=2):
+        frames = tmp_path / "frames"
+        frames.mkdir()
+        rng = np.random.RandomState(3)
+        for i in range(n):
+            pts = rng.randn(40, 3).astype("<f4")
+            ts = np.linspace(0.0, 0.099, 40).astype("<f8")
+            hdr = ("ply\nformat binary_little_endian 1.0\n"
+                   "element vertex 40\n"
+                   "property float x\nproperty float y\nproperty float z\n"
+                   "property double timestamp\nend_header\n")
+            rec = np.zeros(40, dtype=[("x", "<f4"), ("y", "<f4"),
+                                      ("z", "<f4"), ("timestamp", "<f8")])
+            rec["x"], rec["y"], rec["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+            rec["timestamp"] = ts
+            with open(frames / f"frame_{i:04d}.ply", "wb") as f:
+                f.write(hdr.encode())
+                f.write(rec.tobytes())
+        np.savetxt(str(tmp_path / "gt_traj_lidar.txt"),
+                   np.array([[0.0, 0.0, 0.0], [1.5, 0.5, 0.0]][:n]))
+        return tmp_path
+
+    def test_load(self, tmp_path):
+        from pin_slam_tpu.dataset.dataloaders.paris_luco import (
+            ParisLucoDataset)
+        ds = ParisLucoDataset(self._fixture(tmp_path))
+        assert len(ds) == 2
+        d = ds[0]
+        assert d["points"].shape == (40, 3)
+        # timestamps normalized by their max -> last point = 1.0
+        assert abs(d["point_ts"].max() - 1.0) < 1e-12
+        assert d["point_ts"].min() == 0.0
+        # xyz-only GT -> identity rotations
+        assert ds.gt_poses.shape == (2, 4, 4)
+        np.testing.assert_allclose(ds.gt_poses[1][:3, :3], np.eye(3))
+        np.testing.assert_allclose(ds.gt_poses[1][:3, 3], [1.5, 0.5, 0.0])
+
+    def test_factory(self, tmp_path):
+        from pin_slam_tpu.dataset.dataloaders import dataset_factory
+        ds = dataset_factory("paris_luco", self._fixture(tmp_path))
+        assert len(ds) == 2

@@ -447,3 +447,77 @@ class TestO3DViewerMocked:
         q_m2v.put(VisPacket(finish=True))
         assert v._on_tick() is False
         assert v.gui.Application.instance.quit_called
+
+
+class TestOffscreenRenderer:
+    """OffscreenPacketRenderer wiring (mocked open3d; the real-open3d run
+    is scripts/smoke_o3d_offscreen.py inside the Docker image)."""
+
+    def _fake_open3d_offscreen(self, written):
+        base = TestO3DViewerMocked()._fake_open3d()
+        import types
+
+        rendering = base["open3d.visualization.rendering"]
+        Scene = rendering.Open3DScene
+
+        class _BBox:
+            def get_center(self):
+                return np.array([5.0, 5.0, 1.0])
+
+            def get_extent(self):
+                return np.array([10.0, 10.0, 3.0])
+
+        class _Camera:
+            def look_at(self, center, eye, up):
+                self.args = (center, eye, up)
+
+        class OffscreenRenderer:
+            def __init__(self, w, h):
+                self.w, self.h = w, h
+                self.scene = Scene(None)
+                self.scene.bounding_box = _BBox()
+                self.scene.camera = _Camera()
+
+            def render_to_image(self):
+                img = np.zeros((self.h, self.w, 3), np.uint8)
+                img[::2] = 200   # non-uniform
+                return img
+
+        rendering.OffscreenRenderer = OffscreenRenderer
+        io_mod = types.ModuleType("open3d.io")
+
+        def write_image(path, img):
+            written.append((path, np.asarray(img)))
+        io_mod.write_image = write_image
+        base["open3d"].io = io_mod
+        base["open3d.io"] = io_mod
+        return base
+
+    def test_offscreen_populate_and_render(self, monkeypatch, tmp_path):
+        written = []
+        for name, mod in self._fake_open3d_offscreen(written).items():
+            monkeypatch.setitem(sys.modules, name, mod)
+        import importlib
+        import scripts.smoke_o3d_offscreen as smoke
+        from pin_slam_tpu.gui.o3d_gui import OffscreenPacketRenderer
+
+        pkt = smoke.build_packet()
+        r = OffscreenPacketRenderer(320, 200)
+        out = str(tmp_path / "render.png")
+        img = r.render_to_png(pkt, out)
+        for name in (r.NP_NAME, r.SCAN_NAME, r.MESH_NAME, r.SDF_NAME,
+                     r.TRAJ_NAME, r.LOOP_NAME):
+            assert r.scene.has_geometry(name), name
+        assert written and written[0][0] == out
+        assert img.shape == (200, 320, 3)
+        # camera was aimed at the scene bbox center
+        c, eye, up = r.scene.camera.args
+        np.testing.assert_allclose(c, [5.0, 5.0, 1.0])
+        assert up == [0.0, 0.0, 1.0]
+
+    def test_real_open3d_smoke(self, tmp_path, monkeypatch):
+        """Runs only where open3d is genuinely installed (Docker image)."""
+        pytest.importorskip("open3d")
+        import scripts.smoke_o3d_offscreen as smoke
+        monkeypatch.setenv("SMOKE_OUT", str(tmp_path / "smoke.png"))
+        assert smoke.main() == 0

@@ -94,6 +94,29 @@ class TestBuildLocalSetSmallMap:
         assert len(np.unique(sel)) == min(n, ls.cap)
         assert mask[sel].all()
 
+    def test_cap_clamp_rounds_up_not_down(self):
+        """C >= TL but not a TL multiple, with more valid rows than
+        (C//TL)*TL: a down-rounding clamp would silently drop valid rows
+        and leave count > cap. The clamp must round UP and dump-pad."""
+        rng = np.random.RandomState(5)
+        C = kj.TL * 2 + 76            # 1100: not a tile multiple
+        n = kj.TL * 2 + 66            # 1090 valid rows > (C//TL)*TL = 1024
+        positions = np.full((C + 1, 3), 1e9, np.float32)
+        positions[:n] = rng.rand(n, 3).astype(np.float32) * 10
+        positions[C] = 0.0
+        mask = np.zeros(C, bool)
+        mask[:n] = True
+        ls = kj.build_local_set(jnp.asarray(positions), jnp.asarray(mask),
+                                resolution=0.3, cap=1 << 17)
+        assert ls.cap % kj.TL == 0
+        assert int(ls.count) == n
+        assert int(ls.count) <= ls.cap          # the violated invariant
+        gidx = np.asarray(ls.gidx)
+        sel = gidx[gidx < C]
+        assert len(np.unique(sel)) == n         # no valid row dropped
+        assert mask[sel].all()
+        assert (gidx[n:] == C).all()            # tail is dump-padded
+
     def test_map_smaller_than_one_tile(self):
         """C < TL: the TL-padded selection must dump-pad, not crash."""
         C = 200

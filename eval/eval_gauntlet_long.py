@@ -27,6 +27,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
+def _edge_errors(dg, gt_eval):
+    """Rotation/translation error of a closure's refined edge and of the
+    pre-solve odometry-chain edge, both vs the GT relative transform
+    (relative edges are start-frame invariant)."""
+    from pin_slam_tpu.slam.pgo import so3_log_batch
+
+    i, j = int(dg["loop"]), int(dg["frame"])
+    gt_edge = np.linalg.inv(gt_eval[i]) @ gt_eval[j]
+    out = {"loop": i, "frame": j,
+           "residual_cm": dg["residual_cm"],
+           "refine_moved_m": dg["refine_moved_m"],
+           "cov_rot_std_deg": float(np.degrees(np.sqrt(
+               np.clip(dg["cov_diag"][:3], 0, None).mean()))),
+           "cov_tran_std_m": float(np.sqrt(
+               np.clip(dg["cov_diag"][3:], 0, None).mean()))}
+    for name, T in (("edge", dg["T_edge"]), ("chain", dg["T_chain"])):
+        E = np.linalg.inv(gt_edge) @ T
+        out[f"{name}_rot_err_deg"] = float(np.degrees(np.linalg.norm(
+            so3_log_batch(E[None, :3, :3])[0])))
+        out[f"{name}_tran_err_m"] = float(np.linalg.norm(E[:3, 3]))
+    return out
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=1000)
@@ -56,6 +79,11 @@ def main():
                         "swept-scan/deskew path from the rest)")
     p.add_argument("--skip-mesh", action="store_true",
                    help="trajectory metrics only (fast diagnostics)")
+    p.add_argument("--incidence", action="store_true",
+                   help="incidence-weighted projective SDF labels "
+                        "(ops/range_image.py) — the grazing-incidence "
+                        "floor-bias fix; bins match the synthetic scan's "
+                        "512x32 ray grid")
     p.add_argument("--cap", type=int, default=14,
                    help="log2 initial map capacity (small on purpose so "
                         "the growth watchdog fires; raise to isolate it)")
@@ -121,6 +149,12 @@ def main():
     cfg.deskew = not a.no_deskew
     if a.dynamic:
         cfg.dynamic_filter_on = True
+    if a.incidence:
+        cfg.incidence_label_on = True
+        # el-bin count must not exceed the scan's ring count, else rows
+        # are empty and the op conservatively falls back to no correction
+        cfg.incidence_bins_az = 512
+        cfg.incidence_bins_el = 32
     cfg.finalize()
     cfg.pool_capacity = 3_000_000
     # keep the same ~27 m absolute travel window the ratio 0.45 gave at
@@ -221,6 +255,61 @@ def main():
     dt_s, dr_s = relative_error(gt_eval, slam_poses, lengths, step=5)
     dt_o, dr_o = relative_error(gt_eval, odom_poses, lengths, step=5)
 
+    # floor-height probe (the grazing-incidence bias check): SDF zero
+    # crossing along vertical columns under the track vs the analytic
+    # scene's own crossing — the long-range failure mode was the floor
+    # learned ~0.5 m low EVEN WITH GT POSES (ARCHITECTURE.md)
+    probe_mesher = Mesher(system.qp, MeshConfig(
+        mc_res_m=0.15, mesh_min_nn=10, infer_bs=1 << 13, skip_top_voxel=0))
+    A0i = np.linalg.inv(A0)
+    zs = np.linspace(-7.0, -3.0, 201)
+    # fixed floor locations INSIDE the oval, clear of the island/pillars:
+    # the lidar's elevation fan (-20 deg) only reaches the floor 14-22 m
+    # out, so the floor directly under the track is a map hole — these
+    # points are observed at the grazing incidence the bias acts on
+    probe_xy, col_w = [], []
+    for (x, y) in [(12.0, 4.0), (12.0, -4.0), (-12.0, 4.0),
+                   (-12.0, -4.0), (0.0, 12.0), (0.0, -12.0)]:
+        probe_xy.append((x, y))
+        col_w.append(np.stack([np.full_like(zs, x),
+                               np.full_like(zs, y), zs], -1))
+    col_w = np.concatenate(col_w).astype(np.float32)       # [6*201, 3]
+    col_m = col_w @ A0i[:3, :3].T.astype(np.float32) + \
+        A0i[:3, 3].astype(np.float32)
+    batch = np.zeros((1 << 13, 3), np.float32)
+    batch[: col_m.shape[0]] = col_m
+    sdf_col, nn_col = probe_mesher._query_batch(
+        system.state, system.params["geo_features"],
+        system.params["geo_mlp"], jnp.asarray(batch))
+    sdf_col = np.asarray(sdf_col)[: col_m.shape[0]].reshape(6, -1)
+    nn_col = np.asarray(nn_col)[: col_m.shape[0]].reshape(6, -1)
+    floor_probe = []
+    for k, (x, y) in enumerate(probe_xy):
+        # GT crossing by bisection on the analytic SDF along the column
+        lo_z, hi_z = -7.0, -3.0
+        for _ in range(50):
+            mid = 0.5 * (lo_z + hi_z)
+            if static_scene(np.array([[x, y, mid]]))[0] > 0:
+                hi_z = mid
+            else:
+                lo_z = mid
+        gt_z = 0.5 * (lo_z + hi_z)
+        s, nnk = sdf_col[k], nn_col[k]
+        entry = {"xy": [x, y], "gt_z": gt_z, "est_z": None, "err_m": None,
+                 "max_nn": int(nnk.max())}
+        for gate in (6, 3):          # well-observed first; sparse fallback
+            cross = np.where((s[:-1] <= 0) & (s[1:] > 0)
+                             & (nnk[:-1] >= gate) & (nnk[1:] >= gate))[0]
+            if len(cross):
+                i0 = cross[np.argmin(np.abs(zs[cross] - gt_z))]
+                z_est = zs[i0] + (zs[i0 + 1] - zs[i0]) * (
+                    -s[i0] / max(s[i0 + 1] - s[i0], 1e-9))
+                entry.update(est_z=float(z_est),
+                             err_m=float(z_est - gt_z), nn_gate=gate)
+                break
+        floor_probe.append(entry)
+    probe_errs = [p_["err_m"] for p_ in floor_probe if p_["err_m"] is not None]
+
     exact = {}
     v = np.zeros((0, 3))
     if not a.skip_mesh:
@@ -256,6 +345,7 @@ def main():
             "max_range_m": a.rng, "noise_m": a.noise,
             "start_capacity_log2": a.cap, "dynamic": a.dynamic,
             "no_sweep": a.no_sweep, "no_deskew": a.no_deskew,
+            "incidence": a.incidence,
         },
         "frames": n,
         "deskew": cfg.deskew,
@@ -269,6 +359,15 @@ def main():
                  "drift_t_pct": dt_s, "drift_r_deg_per_100m": dr_s},
         "odom": {"ATE_RMSE_m": ate_o, "ARE_deg": are_o,
                  "drift_t_pct": dt_o, "drift_r_deg_per_100m": dr_o},
+        # per-closure edge quality vs GT: is post-closure rotation error
+        # coming from the refined edges themselves or the solver pricing?
+        "loop_edges": [
+            _edge_errors(dg, gt_eval) for dg in loop_mgr.pgm.loop_diags],
+        "floor_probe": floor_probe,
+        "floor_err_mean_m": (float(np.mean(probe_errs))
+                             if probe_errs else None),
+        "floor_err_max_abs_m": (float(np.max(np.abs(probe_errs)))
+                                if probe_errs else None),
         "mesh_exact": exact,
         "mesh_vertices": int(v.shape[0]),
     }
@@ -294,6 +393,9 @@ def main():
                     else "eval/gauntlet_long_results.json")
     with open(out, "w") as fp:
         json.dump(results, fp, indent=2)
+    # pose arrays for offline analysis (per-frame error attribution)
+    np.savez_compressed(out.rsplit(".", 1)[0] + "_poses.npz",
+                        gt=gt_eval, slam=slam_poses, odom=odom_poses)
     print(json.dumps(results, indent=2))
 
 

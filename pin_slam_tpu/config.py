@@ -124,6 +124,15 @@ class Config:
     free_sample_end_dist_m: float = 1.0
     free_front_n: int = 2
     free_behind_n: int = 1
+    # incidence-weighted projective labels (ops/range_image.py): scale
+    # each sample's along-ray label by the geometric |cos(incidence)| of
+    # its ray — the stable replacement for the reference's abandoned
+    # learned-gradient proj_correction (utils/mapper.py:695)
+    incidence_label_on: bool = False
+    incidence_cos_floor: float = 0.1
+    incidence_bins_az: int = 512
+    incidence_bins_el: int = 64
+    incidence_range_gate_m: float = 0.5
 
     # ------------------------------------------------------------ replay pool
     window_radius: float = 50.0
@@ -261,6 +270,12 @@ class Config:
     pgo_with_pose_prior: bool = False
     pgo_tran_std: float = 0.04
     pgo_rot_std: float = 0.01
+    # loop edges priced separately (slam/pgo.py): their dominant error is
+    # the systematic drift of the map they were registered against, not
+    # point noise — rotation at degree scale, translation floored by the
+    # drift estimate at closure time
+    pgo_loop_tran_std: float = 0.05
+    pgo_loop_rot_std: float = 0.5
     use_reg_cov_mat: bool = False
     pgo_error_thre_frame: float = 500.0
     pgo_merge_map: bool = False
@@ -437,6 +452,10 @@ class Config:
             self.surface_sample_n = sa.get("surface_sample_n", self.surface_sample_n)
             self.free_front_n = sa.get("free_front_sample_n", self.free_front_n)
             self.free_behind_n = sa.get("free_behind_sample_n", self.free_behind_n)
+            self.incidence_label_on = sa.get(
+                "incidence_label_on", self.incidence_label_on)
+            self.incidence_cos_floor = sa.get(
+                "incidence_cos_floor", self.incidence_cos_floor)
 
         npt = args.get("neuralpoints", {})
         if npt:
@@ -546,6 +565,10 @@ class Config:
                 "with_pose_prior", self.pgo_with_pose_prior)
             self.pgo_tran_std = float(g.get("tran_std", self.pgo_tran_std))
             self.pgo_rot_std = float(g.get("rot_std", self.pgo_rot_std))
+            self.pgo_loop_tran_std = float(
+                g.get("loop_tran_std", self.pgo_loop_tran_std))
+            self.pgo_loop_rot_std = float(
+                g.get("loop_rot_std", self.pgo_loop_rot_std))
             self.use_reg_cov_mat = g.get("use_reg_cov", False)
             self.pgo_error_thre_frame = float(
                 g.get("pgo_error_thre_frame", self.pgo_error_thre_frame))

@@ -47,6 +47,7 @@ def sample_training_points(
     behind_dropoff_on: bool = False,
     sem_labels: Optional[jnp.ndarray] = None,    # [N] i32
     colors: Optional[jnp.ndarray] = None,        # [N, Cc]
+    cos_inc: Optional[jnp.ndarray] = None,       # [N] |cos(incidence)|
 ) -> Samples:
     n = points.shape[0]
     s_n, f_n, b_n = surface_sample_n, free_front_n, free_behind_n
@@ -110,6 +111,16 @@ def sample_training_points(
     weight = weight.at[:, 1 + s_n:].mul(-1.0)
 
     sdf_label = -disp                                        # (reference :220)
+    if cos_inc is not None:
+        # incidence-weighted projective labels: the along-ray offset
+        # overestimates the true distance to a surface seen at grazing
+        # incidence by 1/cos — the measured source of the "floor learned
+        # ~0.5 m low" long-range bias. Scale every sample's label by the
+        # GEOMETRIC |cos| of its ray's incidence (ops/range_image.py) —
+        # unlike the reference's learned-gradient proj_correction
+        # (utils/mapper.py:695, "[not used] does not work well") this is
+        # stable from frame 0.
+        sdf_label = sdf_label * cos_inc[:, None]
 
     sem_out = None
     if sem_labels is not None:

@@ -237,6 +237,19 @@ class LoopPgoManager:
         # 3. apply consequences (reference: pin_slam.py:329-343)
         self.pgm.loop_edges.append(np.array([loop_id, frame_id]))
         self.pgm.loop_trans.append(loop_transform)
+        # per-closure diagnostics: the refined edge, the pre-solve chain
+        # edge (whose deviation from GT = accumulated drift), and the
+        # registration covariance diag — the evidence needed to attribute
+        # post-closure rotation error to the edge vs the solver pricing
+        self.pgm.loop_diags.append(dict(
+            frame=frame_id, loop=loop_id,
+            T_edge=np.asarray(loop_transform, np.float64).copy(),
+            T_chain=np.linalg.inv(self.pgm.init_poses[loop_id])
+            @ self.pgm.init_poses[frame_id],
+            cov_diag=np.diag(np.asarray(res.cov, np.float64)).copy(),
+            residual_cm=float(res.residual_cm),
+            refine_moved_m=float(np.linalg.norm(
+                pose_refined[:3, 3] - pose_init[:3, 3]))))
         pose_diff = self.pgm.get_pose_diff()                 # [T,4,4]
         if not self.silence:
             dmag = np.linalg.norm(pose_diff[: frame_id + 1, :3, 3], axis=1)

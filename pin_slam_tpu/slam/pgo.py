@@ -104,6 +104,19 @@ class PoseGraphManager:
         self.silence = config.silence
         self.tran_std = config.pgo_tran_std
         self.rot_std = np.radians(config.pgo_rot_std)
+        # Loop edges are priced SEPARATELY from odometry edges. A loop
+        # edge's dominant error is systematic: the local map it was
+        # registered against carries the accumulated drift of the anchor
+        # segment (measured in the long gauntlet: 0.35-1.2 deg / 0.7-2.0 m
+        # actual edge error vs GT while the registration covariance claims
+        # ~0.01 deg / ~3 mm). Pricing loops at the odometry stds made the
+        # solver warp a near-perfect odometry rotation chain to satisfy
+        # slightly-wrong loop rotations (ARE 0.22 -> 3.2 deg). Honest
+        # pricing: rotation at ~degree scale, translation floored by the
+        # drift estimate at closure time (see add_loop_factor).
+        self.loop_tran_std = getattr(config, "pgo_loop_tran_std", 0.05)
+        self.loop_rot_std = np.radians(
+            getattr(config, "pgo_loop_rot_std", 0.5))
         self.max_iter = config.pgo_max_iter
         self.error_thre_frame = config.pgo_error_thre_frame
 
@@ -120,17 +133,29 @@ class PoseGraphManager:
         self.drift_radius = 0.0
         self.loop_edges: List[np.ndarray] = []
         self.loop_trans: List[np.ndarray] = []
+        self.loop_diags: List[dict] = []   # per-closure diagnostics
 
     # ------------------------------------------------------------- factors
 
     def add_frame_node(self, idx: int, pose: np.ndarray):
         self.nodes[idx] = np.asarray(pose, np.float64)
 
-    def _sqrt_w(self, cov: Optional[np.ndarray]) -> np.ndarray:
+    def _sqrt_w(self, cov: Optional[np.ndarray],
+                is_loop: bool = False) -> np.ndarray:
+        if is_loop:
+            # translation floor scales with the drift estimate at closure
+            # time: the map the edge was refined against is itself offset
+            # by roughly the anchor segment's accumulated drift
+            tran_s = max(self.loop_tran_std, 0.3 * self.drift_radius)
+            floor = np.array([self.loop_rot_std] * 3 + [tran_s] * 3)
+        else:
+            floor = np.array([self.rot_std] * 3 + [self.tran_std] * 3)
         if cov is not None and self.config.use_reg_cov_mat:
             d = np.sqrt(np.clip(np.diag(cov), 1e-12, None))
-            return 1.0 / d
-        return np.array([1.0 / self.rot_std] * 3 + [1.0 / self.tran_std] * 3)
+            # registration covariances model i.i.d. point noise only and
+            # are overconfident about systematic error — floors still apply
+            return 1.0 / np.maximum(d, floor)
+        return 1.0 / floor
 
     def add_odometry_factor(self, cur: int, prev: int, T_rel: np.ndarray,
                             cov: Optional[np.ndarray] = None):
@@ -149,9 +174,13 @@ class PoseGraphManager:
         warping the whole trajectory, so the post-solve error of a bad
         graph is not discriminative. Removes the edge and returns False
         on rejection."""
-        self.edges.append(dict(
-            i=loop, j=cur, Z=np.asarray(T_rel, np.float64),
-            sqrt_w=self._sqrt_w(cov), is_loop=True))
+        edge = dict(i=loop, j=cur, Z=np.asarray(T_rel, np.float64),
+                    # the budget check runs at the FIXED odometry pricing:
+                    # discriminative, and independent of the honest (much
+                    # looser) loop pricing swapped in below for the solve —
+                    # loosening solver weights must not loosen rejection
+                    sqrt_w=self._sqrt_w(cov), is_loop=True)
+        self.edges.append(edge)
         n = max(self.nodes.keys()) + 1
         poses = np.stack([self.nodes[i] for i in range(n)])
         cur_error = self.total_error(poses)
@@ -163,6 +192,7 @@ class PoseGraphManager:
                 print(f"loop edge rejected: graph error {cur_error:.1f} "
                       f"> budget {budget:.1f}")
             return False
+        edge["sqrt_w"] = self._sqrt_w(cov, is_loop=True)
         return True
 
     def estimate_drift(self, travel_dist, cur_id: int,
@@ -381,7 +411,7 @@ class PoseGraphManager:
             # re-reject known-good loops)
             self.edges.append(dict(
                 i=int(edge[0]), j=int(edge[1]), Z=np.asarray(T, np.float64),
-                sqrt_w=self._sqrt_w(None), is_loop=True))
+                sqrt_w=self._sqrt_w(None, is_loop=True), is_loop=True))
         self.optimize_pose_graph()
         return self.pgo_poses
 

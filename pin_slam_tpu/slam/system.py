@@ -394,6 +394,15 @@ class PinSLAMSystem:
                       if c.color_on else None)
             sem = (train_attr[:, c.color_channel].astype(jnp.int32)
                    if c.semantic_on else None)
+            cos_inc = None
+            if c.incidence_label_on:
+                from pin_slam_tpu.ops.range_image import (
+                    estimate_scan_incidence)
+                cos_inc = estimate_scan_incidence(
+                    train_pts, mask, n_az=c.incidence_bins_az,
+                    n_el=c.incidence_bins_el,
+                    range_gate_m=c.incidence_range_gate_m,
+                    cos_floor=c.incidence_cos_floor)
             smp = sample_training_points(
                 ks, train_pts, mask,
                 surface_sample_range_m=c.surface_sample_range_m,
@@ -407,6 +416,7 @@ class PinSLAMSystem:
                 dist_weight_scale=c.dist_weight_scale,
                 sem_labels=sem,
                 colors=colors,
+                cos_inc=cos_inc,
             )
             world = transform_points(smp.points, T)
             # ONE near-surface compaction (|sdf| < 3x range, uniform

@@ -137,6 +137,13 @@ class TestPoseGraph:
         # utils/pgo.py:174-188) admits this deliberately-extreme edge and
         # the solver math itself is what's under test
         cfg.pgo_error_thre_frame = 20000.0
+        # price the odometry HONESTLY for this scenario: the synthetic
+        # odometry carries a 0.225 deg/frame yaw bias, so the default
+        # 0.01 deg claim would (correctly, under the loop-edge pricing of
+        # slam/pgo.py) leave rotations pinned to the biased chain. Loop
+        # closures fix rotation drift exactly when the odometry's claimed
+        # rotation noise reflects its actual error.
+        cfg.pgo_rot_std = 0.3
         cfg.finalize()
         gt, drift = self._square_with_drift()
         pgm = PoseGraphManager(cfg)

@@ -80,8 +80,10 @@ def main():
     cfg.surface_sample_range_m = 0.25
     cfg.surface_sample_n = 4
     cfg.loss_weight_on = True
-    cfg.bs = 16384
-    cfg.iters = 12  # reference default (run_kitti.yaml sets none)
+    # sweepable knobs (BENCH_* env) so perf/quality trades are measurable
+    # without code edits; defaults = the committed configuration
+    cfg.bs = int(os.environ.get("BENCH_BS", 16384))
+    cfg.iters = int(os.environ.get("BENCH_ITERS", 12))  # reference default
     cfg.init_iter_ratio = 30
     cfg.bs_new_sample = 1000
     cfg.reg_iter_n = 100
@@ -110,7 +112,9 @@ def main():
     t_steady = None
     for fid in range(n_frames):
         t0 = time.time()
-        system.process_frame(fid, frames[fid])
+        system.process_frame(
+            fid, frames[fid],
+            next_points=frames[fid + 1] if fid + 1 < n_frames else None)
         if fid == warmup - 1 or fid == n_frames - 1:
             # sync only at the measurement boundaries: production has ONE
             # device sync per frame (the batched pull inside the loop);

@@ -185,6 +185,11 @@ class PinSLAMSystem:
         # extra mapping iterations requested by an accepted loop closure
         self.post_loop_iter_boost_pending = 0
         self.last_static_mask = None  # dynamic filter's latest verdicts
+        # (frame_id, preprocess outputs) dispatched ahead of time: when the
+        # caller passes next_points, the next frame's preprocess is issued
+        # BEFORE this frame's blocking host pull, so the device works on it
+        # during the pull's ~35 ms tunnel notification instead of idling
+        self._prefetch = None
         # PIN_SYNC_TIMING=1: block after each stage so self.timings
         # attributes device time to the right column (debug/profiling)
         import os as _os
@@ -703,15 +708,33 @@ class PinSLAMSystem:
         (reference: model/neural_points.py:645-648)."""
         self.after_pgo = on
 
+    def _run_preprocess(self, points, sem_labels):
+        """Pad + dispatch stage I (crop/downsample) for one raw cloud."""
+        c = self.config
+        attr_dim = (c.color_channel if c.color_on else 0) + int(c.semantic_on)
+        pts_in = np.asarray(points, np.float32)
+        if c.semantic_on and sem_labels is not None:
+            pts_in = np.hstack([
+                pts_in, np.asarray(sem_labels, np.float32)[:, None]])
+        raw, attr, n_raw = _pad_points(
+            pts_in, 1 << int(np.ceil(np.log2(max(points.shape[0], 2)))),
+            attr_dim)
+        return self._preprocess(raw, attr, n_raw)
+
     def process_frame(self, frame_id: int, points: np.ndarray,
                       point_ts: Optional[np.ndarray] = None,
                       gt_pose: Optional[np.ndarray] = None,
                       loop_hook=None,
-                      sem_labels: Optional[np.ndarray] = None):
+                      sem_labels: Optional[np.ndarray] = None,
+                      next_points: Optional[np.ndarray] = None,
+                      next_sem_labels: Optional[np.ndarray] = None):
         """Run steps I-IV for one frame. `points` is [N, 3+color] float in
         the sensor frame; `sem_labels` [N] int when semantic_on.
         `loop_hook(frame_id)` runs between odometry and mapping (the
         reference's loop+PGO slot, pin_slam.py:280-348).
+        `next_points` (optional) is the NEXT frame's raw cloud: its
+        preprocess is dispatched before this frame's host pull and reused
+        when the caller passes the same cloud as frame_id+1's `points`.
         Returns the odometry pose estimate (4x4 float64)."""
         c = self.config
         t0 = time.time()
@@ -743,17 +766,15 @@ class PinSLAMSystem:
             self.cur_frame = frame_id + 1
             return init_guess.copy()
 
-        # ---- I. preprocess
-        attr_dim = (c.color_channel if c.color_on else 0) + int(c.semantic_on)
-        pts_in = np.asarray(points, np.float32)
-        if c.semantic_on and sem_labels is not None:
-            pts_in = np.hstack([
-                pts_in, np.asarray(sem_labels, np.float32)[:, None]])
-        raw, attr, n_raw = _pad_points(
-            pts_in, 1 << int(np.ceil(np.log2(max(points.shape[0], 2)))),
-            attr_dim)
+        # ---- I. preprocess (reuse the result dispatched ahead by the
+        # previous frame when the caller passed next_points)
+        if self._prefetch is not None and self._prefetch[0] == frame_id:
+            pre = self._prefetch[1]
+        else:
+            pre = self._run_preprocess(points, sem_labels)
+        self._prefetch = None
         (train_pts, train_attr, train_n, src_pts, src_attr,
-         src_n, train_total, src_total) = self._preprocess(raw, attr, n_raw)
+         src_n, train_total, src_total) = pre
         if self._sync_timing:
             jax.block_until_ready(train_pts)
         t1 = time.time()
@@ -987,6 +1008,13 @@ class PinSLAMSystem:
         lag_pull = dispatched_map and not ba_due and not self._sync_timing
         if lag_pull:
             run_training()
+
+        # next frame's stage I rides ahead of the blocking pull: the device
+        # (and the host padding memcpy) overlap the pull's tunnel wait
+        if next_points is not None and next_points.shape[0] >= 10:
+            self._prefetch = (
+                frame_id + 1,
+                self._run_preprocess(next_points, next_sem_labels))
 
         # ---- THE one batched host pull of the frame
         pull = []

@@ -98,6 +98,31 @@ class TestEndToEndOdometry:
         assert system.cur_frame == 1
 
 
+class TestPrefetchEquivalence:
+    def test_next_points_prefetch_matches_plain_run(self):
+        """Passing next_points dispatches frame N+1's preprocess ahead of
+        frame N's host pull; in the default (lag-pull) frame loop the key
+        split order is unchanged, so the runs must match bitwise."""
+        seq = SyntheticSequence(
+            scene_sdf=default_scene(),
+            poses=circle_trajectory(6, radius=6.0, revolutions=0.06),
+            dirs=lidar_directions(384, 24),
+            max_range=60.0,
+        )
+        runs = []
+        for use_prefetch in (False, True):
+            system = PinSLAMSystem(small_config())
+            est = []
+            for fid in range(len(seq)):
+                nxt = (seq.frame(fid + 1)
+                       if use_prefetch and fid + 1 < len(seq) else None)
+                est.append(system.process_frame(
+                    fid, seq.frame(fid), next_points=nxt))
+            runs.append((np.stack(est), int(system.state.count)))
+        np.testing.assert_array_equal(runs[0][0], runs[1][0])
+        assert runs[0][1] == runs[1][1]
+
+
 class TestMappingModeGtPoses:
     def test_mapping_with_gt(self):
         """track_on=False + gt poses = pure incremental mapping

@@ -47,6 +47,11 @@ def main():
                    "pool transform then realigns every region's samples, "
                    "so continued training sharpens geometry everywhere "
                    "instead of only inside the last ring-buffer window")
+    p.add_argument("--final-refine", action="store_true",
+                   help="end-of-run map-consistency pass: re-register "
+                   "every frame against the finished map, elastic-deform "
+                   "map+pool by the corrections, boost-train, then mesh "
+                   "(slam/loop.py final_refine)")
     p.add_argument("--gt-poses", action="store_true",
                    help="mapping-mode: feed GT poses (no tracking/PGO) — "
                    "isolates mapping+meshing fidelity from SLAM drift")
@@ -176,6 +181,7 @@ def main():
 
     rng = np.random.RandomState(7)
     gt_points = []
+    kept_clouds = [] if a.final_refine else None
     t0 = time.time()
     for fid in range(len(seq)):
         pts_clean = seq.frame(fid)
@@ -193,6 +199,8 @@ def main():
             w = pts[:, :3] @ seq.poses[fid][:3, :3].T.astype(np.float32) \
                 + seq.poses[fid][:3, 3].astype(np.float32)
             sem = label_fn(w)
+        if kept_clouds is not None:
+            kept_clouds.append(pts[:, :3].astype(np.float32))
         system.process_frame(fid, pts, loop_hook=hook, sem_labels=sem)
         # accumulate the FULL noise-free scan as GT surface samples: the
         # sampled mesh protocol (reference eval/eval_mesh_utils.py:8-91)
@@ -209,6 +217,13 @@ def main():
                   f"lost {system.lose_track})", file=sys.stderr)
 
     n = len(seq)
+    n_refined = 0
+    if a.final_refine and loop_mgr is not None:
+        t_r = time.time()
+        n_refined = loop_mgr.final_refine(
+            lambda fid: kept_clouds[fid], n)
+        print(f"final refine: {n_refined} frames corrected "
+              f"({time.time() - t_r:.1f} s)", file=sys.stderr)
     lengths = (10, 20, 30, 40, 50)   # scene-scaled drift segments
     # In SLAM mode the system is anchored at the frame-0 body frame
     # (identity); GT starts on the circle with arbitrary heading.
@@ -301,6 +316,7 @@ def main():
         "frames": n,
         "trajectory_length_m": float(2 * np.pi * 8.0 * a.laps),
         "loop_closures": 0 if loop_mgr is None else int(loop_mgr.pgo_count),
+        "final_refine_frames": int(n_refined),
         "slam": {"ATE_RMSE_m": ate_s, "ARE_deg": are_s,
                  "drift_t_pct": dt_s, "drift_r_deg_per_100m": dr_s},
         "odom": {"ATE_RMSE_m": ate_o, "ARE_deg": are_o,

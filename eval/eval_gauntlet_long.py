@@ -186,7 +186,7 @@ def main():
     growth_events = []
     cap0 = cfg.map_capacity
     dyn_stats = {"n_dyn": 0, "n_dyn_rejected": 0, "n_static": 0,
-                 "n_static_rejected": 0}
+                 "n_static_rejected": 0, "tp": 0, "fp": 0, "fn": 0}
     t0 = time.time()
     for fid in range(len(seq)):
         pts_clean, ts = seq.frame_with_ts(fid)
@@ -220,12 +220,26 @@ def main():
             dyn_stats["n_dyn"] += int(is_dyn.sum())
             dyn_stats["n_static"] += int((~is_dyn).sum())
             if fid % 20 == 10 and system.last_static_mask is not None:
-                # filter activity on a cadence (the mask covers the train
-                # cloud; rejected = points the filter kept out of the map)
-                sm = np.asarray(system.last_static_mask)
-                dyn_stats["n_static_rejected"] += int((~sm).sum())
-                dyn_stats["n_checked"] = dyn_stats.get("n_checked", 0) \
-                    + int(sm.shape[0])
+                # score the filter per measurement on a cadence: its
+                # verdicts cover the train cloud (sensor frame); mover
+                # ground truth comes from the GT mid-scan pose, so a
+                # drifted estimate cannot mislabel the reference
+                sm, tp_pts, tn = jax.device_get(
+                    (system.last_static_mask, system.last_train_pts,
+                     system.last_train_n))
+                n = int(tn)
+                sm, tp_pts = sm[:n], tp_pts[:n]
+                Tgt = seq._pose_at(fid, 0.5)
+                wtr = tp_pts @ Tgt[:3, :3].T + Tgt[:3, 3]
+                gt_dyn = np.min(np.linalg.norm(
+                    wtr[:, None, :] - movers[fid][None], axis=-1),
+                    axis=1) < 0.8 + 0.15
+                pred_dyn = ~sm
+                dyn_stats["tp"] += int((pred_dyn & gt_dyn).sum())
+                dyn_stats["fp"] += int((pred_dyn & ~gt_dyn).sum())
+                dyn_stats["fn"] += int((~pred_dyn & gt_dyn).sum())
+                dyn_stats["n_static_rejected"] += int(pred_dyn.sum())
+                dyn_stats["n_checked"] = dyn_stats.get("n_checked", 0) + n
         else:
             gt_points.append(w[::4].astype(np.float32))
         if system.lose_track != getattr(main, "_was_lost", False):
@@ -380,6 +394,14 @@ def main():
             "filter_rejection_fraction":
                 dyn_stats["n_static_rejected"]
                 / max(dyn_stats.get("n_checked", 0), 1),
+            # per-measurement confusion vs mover GT, sampled every 20
+            # frames: the filter's actual operating point
+            "filter_precision": dyn_stats["tp"]
+                / max(dyn_stats["tp"] + dyn_stats["fp"], 1),
+            "filter_recall": dyn_stats["tp"]
+                / max(dyn_stats["tp"] + dyn_stats["fn"], 1),
+            "filter_scored_measurements":
+                dyn_stats.get("n_checked", 0),
         }
         if not a.skip_mesh:
             # ghost check: predicted-mesh samples near any mover PATH are

@@ -89,6 +89,19 @@ class Config:
     dynamic_certainty_thre: float = 1.0
     dynamic_sdf_ratio_thre: float = 0.5
     dynamic_min_grad_norm_thre: float = 0.25
+    # multi-viewpoint visibility test (ops/visibility.py) — complements the
+    # certainty filter in open space where no neural points exist; judged
+    # from sensor origins visibility_hist_offsets frames in the past
+    visibility_filter_on: bool = False
+    visibility_bins_az: int = 512
+    visibility_bins_el: int = 64
+    visibility_margin_m: float = 0.4
+    visibility_rel_margin: float = 0.05
+    visibility_min_votes: int = 2
+    visibility_min_certainty: float = 1.0
+    visibility_range_ratio: float = 0.9   # judge only within this * max_range
+    visibility_hist_offsets: tuple = (10, 30, 60)
+    visibility_el_slack_deg: float = 2.0
 
     # ------------------------------------------------------------- neural points
     voxel_size_m: float = 0.3
@@ -440,6 +453,15 @@ class Config:
                 "dynamic_sdf_ratio_thre", self.dynamic_sdf_ratio_thre)
             self.dynamic_min_grad_norm_thre = p.get(
                 "dynamic_min_grad_norm_thre", self.dynamic_min_grad_norm_thre)
+            self.visibility_filter_on = p.get(
+                "visibility_filter_on", self.visibility_filter_on)
+            self.visibility_margin_m = p.get(
+                "visibility_margin_m", self.visibility_margin_m)
+            self.visibility_min_certainty = p.get(
+                "visibility_min_certainty", self.visibility_min_certainty)
+            if "visibility_hist_offsets" in p:
+                self.visibility_hist_offsets = tuple(
+                    int(x) for x in p["visibility_hist_offsets"])
 
         sa = args.get("sampler", {})
         if sa:

@@ -288,6 +288,103 @@ class LoopPgoManager:
             print(f"loop closed: {frame_id} --- {loop_id}")
         return True
 
+    # ------------------------------------------------------------ finalize
+
+    def final_refine(self, frames, n_frames: int, *,
+                     dev_budget_m: Optional[float] = None,
+                     train_boost: Optional[int] = None) -> int:
+        """End-of-run map-consistency refinement (one alternating-
+        optimization pass, beyond the reference's final prune+merge,
+        pin_slam.py:510-543): re-register every frame's scan against the
+        FINAL map, elastic-deform map + replay pool by the per-frame
+        corrections, then boost-train to re-sharpen the SDF.
+
+        Residual per-frame drift smears surfaces: each scan was inserted
+        at its odometry/PGO pose, so the built map is the superposition of
+        slightly-offset copies. Registering each scan against the finished
+        (consensus) map pulls every frame toward the common surface,
+        cutting the inter-frame inconsistency that costs mesh precision.
+
+        `frames(fid) -> [N,3+] points` must return the same (deskewed)
+        clouds the run processed. Frame 0 is kept fixed (gauge). Returns
+        the number of frames whose pose was refined."""
+        c = self.config
+        sysm = self.system
+        old = sysm.pgo_poses[:n_frames].copy()
+        refined = old.copy()
+        if dev_budget_m is None:
+            # refinement corrects residual drift, not gross error
+            dev_budget_m = max(4.0 * c.voxel_size_m, 0.3)
+        td = jnp.asarray(sysm.travel_dist[: sysm.max_frames], jnp.float32)
+        n_ok = 0
+        for fid in range(1, n_frames):
+            pts = frames(fid)
+            src = np.asarray(pts[:, :3], np.float32)
+            raw, n_raw = _pad(src, sysm.config.source_point_cap * 4)
+            attr = np.zeros((raw.shape[0], 1), np.float32)
+            (_, _, _, src_pts, _, src_n, _, _) = sysm._preprocess(
+                raw, attr, n_raw)
+            pose0 = refined[fid]
+            anchor = pose0[:3, 3].copy()
+            T_init = pose0.copy()
+            T_init[:3, 3] -= anchor
+            lf = sysm._lf(fid, sensor_pos=pose0[:3, 3] - anchor)
+            extra = {}
+            reg_feats = sysm.params["geo_features"]
+            if getattr(sysm, "_use_join", False):
+                lset_t, reg_feats, _ = sysm._build_lset_track(
+                    sysm.state, sysm.params["geo_features"], td,
+                    jnp.int32(fid),
+                    jnp.asarray(pose0[:3, 3], jnp.float32),
+                    jnp.int32(sysm.reboot_ts))
+                extra["lset"] = lset_t
+            res = sysm._track_loop(
+                sysm.state, reg_feats, sysm.params["geo_mlp"],
+                src_pts, jnp.arange(src_pts.shape[0]) < src_n,
+                jnp.asarray(T_init, jnp.float32), lf,
+                jnp.asarray(anchor, jnp.float32), **extra)
+            if not bool(res.valid):
+                continue
+            pose_r = np.asarray(res.pose, np.float64)
+            pose_r[:3, 3] += anchor
+            if np.linalg.norm(pose_r[:3, 3] - pose0[:3, 3]) > dev_budget_m:
+                continue
+            refined[fid] = pose_r
+            n_ok += 1
+
+        if n_ok == 0:
+            return 0
+        # per-frame corrections -> elastic deformation (same machinery as
+        # a loop closure's consequences)
+        diffs_n = np.einsum("nab,nbc->nac", refined,
+                            np.linalg.inv(old))
+        diffs = np.tile(np.eye(4, dtype=np.float32),
+                        (sysm.max_frames, 1, 1))
+        diffs[:n_frames] = diffs_n.astype(np.float32)
+        diffs = jnp.asarray(diffs)
+        sysm.state = self._deform(sysm.state, diffs)
+        sysm.state = self._rehash(sysm.state, jnp.int32(n_frames - 1))
+        sysm.pool = self._transform_pool(sysm.pool, diffs)
+        sysm.params["geo_features"] = sysm.state.geo_features
+        sysm._cur_lset = None
+        sysm._map_deformed = True
+        sysm.pgo_poses[:n_frames] = refined
+        sysm.cur_pose_ref = refined[n_frames - 1]
+        sysm.last_pose_ref = sysm.cur_pose_ref
+        for i in range(n_frames):
+            self.pgm.nodes[i] = refined[i]
+        sysm.set_after_pgo(True)
+        if train_boost is None:
+            train_boost = 4 * c.iters
+        if train_boost > 0:
+            sysm.train(train_boost, n_frames - 1)
+        if not self.silence:
+            mag = np.linalg.norm(diffs_n[:, :3, 3], axis=1)
+            print(f"final refine: {n_ok}/{n_frames - 1} frames, "
+                  f"|t| mean {mag.mean()*100:.2f} cm, "
+                  f"max {mag.max()*100:.2f} cm")
+        return n_ok
+
     # ------------------------------------------------------------------ io
 
     @property

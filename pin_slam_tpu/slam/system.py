@@ -185,6 +185,8 @@ class PinSLAMSystem:
         # extra mapping iterations requested by an accepted loop closure
         self.post_loop_iter_boost_pending = 0
         self.last_static_mask = None  # dynamic filter's latest verdicts
+        self.last_train_pts = None    # the train cloud those verdicts cover
+        self.last_train_n = None
         # (frame_id, preprocess outputs) dispatched ahead of time: when the
         # caller passes next_points, the next frame's preprocess is issued
         # BEFORE this frame's blocking host pull, so the device works on it
@@ -374,12 +376,54 @@ class PinSLAMSystem:
         self._preprocess = preprocess_host
 
         # --- map-based dynamic filtering (reference: utils/mapper.py:99-137)
-        def dynamic_filter(state, geo_features, geo_mlp, pts_world, mask, lf):
+        def dynamic_filter(state, geo_features, geo_mlp, pts_world, mask, lf,
+                           hist_origins=None):
             out = mq.query_decode(state, geo_features, geo_mlp, pts_world,
                                   self.qp, lf=lf)
             # measurements inside confidently-free space are dynamic
             static = (out.certainty < c.dynamic_certainty_thre) | (
                 out.sdf < c.dynamic_sdf_ratio_thre * c.voxel_size_m)
+            if c.visibility_filter_on and hist_origins is not None:
+                # complementary visibility test (ops/visibility.py): the
+                # certainty filter is blind in open space (no neural points
+                # within query radius ⇒ certainty 0); movers crossing space
+                # that HISTORIC scans saw through are caught here
+                from pin_slam_tpu.ops.visibility import (
+                    render_min_range_bins, visibility_free_mask)
+                # elevation FOV from the current scan around its own origin
+                # (hist origins share the sensor's el band, minus slack)
+                d0 = pts_world - hist_origins[0]
+                r0 = jnp.linalg.norm(d0, axis=1)
+                el0 = jnp.arcsin(jnp.clip(
+                    d0[:, 2] / jnp.maximum(r0, 1e-6), -1.0, 1.0))
+                big = jnp.float32(1e9)
+                el_lo = jnp.min(jnp.where(mask, el0, big))
+                el_hi = jnp.max(jnp.where(mask, el0, -big))
+                cap = state.capacity
+                pvalid = ((jnp.arange(cap + 1) < state.count)
+                          & (state.certainty
+                             >= c.visibility_min_certainty))
+                img = render_min_range_bins(
+                    hist_origins[1:], state.positions, pvalid,
+                    n_az=c.visibility_bins_az, n_el=c.visibility_bins_el,
+                    el_lo=el_lo, el_hi=el_hi)
+                dyn = visibility_free_mask(
+                    hist_origins[1:], img, pts_world, mask,
+                    margin_m=c.visibility_margin_m,
+                    rel_margin=c.visibility_rel_margin,
+                    min_judge_range=c.min_range,
+                    max_judge_range=c.visibility_range_ratio * c.max_range,
+                    el_lo=el_lo, el_hi=el_hi,
+                    el_slack=np.radians(c.visibility_el_slack_deg),
+                    min_votes=c.visibility_min_votes)
+                # known-surface veto: a measurement the map confidently
+                # decodes as near-surface is an established static surface
+                # regardless of what the coarse visibility bins say (the
+                # bins under-resolve grazing surfaces at range)
+                known_surface = (
+                    (out.certainty >= c.dynamic_certainty_thre)
+                    & (jnp.abs(out.sdf) < 1.5 * c.voxel_size_m))
+                static &= ~(dyn & ~known_surface)
             return mask & static
 
         self._dynamic_filter = jax.jit(dynamic_filter)
@@ -926,14 +970,33 @@ class PinSLAMSystem:
                     self.params["color_features"] = self.state.color_features
             static_mask = jnp.ones(c.frame_point_cap, bool)
             if c.dynamic_filter_on and frame_id > 0:
+                # judge valid rows only (pad rows sit at the sensor origin
+                # after the transform and would pollute the el-FOV bounds)
+                static_mask &= jnp.arange(c.frame_point_cap) < train_n
                 world = transform_points(train_pts, T32_dev)
+                hist = None
+                if c.visibility_filter_on:
+                    # row 0 = current origin (elevation-FOV estimation
+                    # only); rows 1.. = historic origins the visibility
+                    # test judges from. Before enough history exists the
+                    # offsets clamp to frame 0 — the map there is tiny, so
+                    # early bins are mostly empty (unjudgeable = kept).
+                    orig = np.stack(
+                        [self.pgo_poses[max(frame_id - off, 0)][:3, 3]
+                         for off in c.visibility_hist_offsets])
+                    hist = jnp.concatenate([
+                        T32_dev[:3, 3][None],
+                        jnp.asarray(orig, jnp.float32)])
                 static_mask = self._dynamic_filter(
                     self.state, self.params["geo_features"],
                     self.params["geo_mlp"], world,
-                    static_mask, self._lf(frame_id - 1))
-                # device array over the train cloud (rows < train_n);
-                # evals pull it on a cadence to score the filter
+                    static_mask, self._lf(frame_id - 1), hist)
+                # device arrays over the train cloud (rows < train_n);
+                # evals pull them on a cadence to score the filter
+                # against mover ground truth (precision/recall)
                 self.last_static_mask = static_mask
+                self.last_train_pts = train_pts
+                self.last_train_n = train_n
             fu = (self._frame_update_init if host_force
                   else self._frame_update)
             (self.state, self.pool, self.key, new_ratio,

@@ -644,3 +644,43 @@ def test_deform_pool_transform_continued_training_fix_drifted_map():
     assert cov_post > 0.8, (cov_pre, cov_post)
     assert err_post < 0.06, (err_pre, err_post)
     assert (err_post < 0.7 * err_pre) or cov_pre < 0.5, (err_pre, err_post)
+
+
+def test_final_refine_improves_or_preserves_trajectory():
+    """End-of-run map-consistency pass (slam/loop.py final_refine):
+    re-registering every frame against the finished map must correct a
+    meaningful share of frames, keep the trajectory valid, and not
+    degrade ATE (on a short low-drift run it should tighten it)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from pin_slam_tpu.dataset.synthetic import circle_trajectory
+    from pin_slam_tpu.slam.loop import LoopPgoManager
+    from pin_slam_tpu.slam.system import PinSLAMSystem
+    from pin_slam_tpu.utils.eval_traj import absolute_error
+    from tests.test_slam_e2e import small_config
+
+    cfg = small_config()
+    cfg.pgo_on = True
+    seq = SyntheticSequence(
+        scene_sdf=default_scene(),
+        poses=circle_trajectory(12, radius=6.0, revolutions=0.13),
+        dirs=lidar_directions(512, 32), max_range=60.0)
+    system = PinSLAMSystem(cfg)
+    loop_mgr = LoopPgoManager(cfg, system)
+    clouds = [seq.frame(fid) for fid in range(len(seq))]
+    for fid in range(len(seq)):
+        system.process_frame(
+            fid, clouds[fid],
+            loop_hook=lambda f, _p=clouds[fid]: loop_mgr.after_frame(f, _p))
+    n = len(seq)
+    A0 = seq.poses[0]
+    ate_pre, _ = absolute_error(
+        seq.poses[:n], A0 @ system.pgo_poses[:n], align_on=False)
+
+    n_ok = loop_mgr.final_refine(lambda f: clouds[f], n)
+    assert n_ok >= (n - 1) // 2, f"only {n_ok} frames refined"
+    ate_post, are_post = absolute_error(
+        seq.poses[:n], A0 @ system.pgo_poses[:n], align_on=False)
+    assert np.isfinite(ate_post) and np.isfinite(are_post)
+    assert ate_post <= ate_pre * 1.2 + 0.01, (ate_pre, ate_post)
+    assert not system.lose_track

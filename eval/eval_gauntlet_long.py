@@ -149,6 +149,11 @@ def main():
     cfg.deskew = not a.no_deskew
     if a.dynamic:
         cfg.dynamic_filter_on = True
+        # multi-viewpoint visibility test: catches movers crossing open
+        # space, where the certainty filter has no neural points to judge
+        # from (ops/visibility.py)
+        cfg.visibility_filter_on = True
+        cfg.visibility_hist_offsets = (10, 30, 60)
     if a.incidence:
         cfg.incidence_label_on = True
         # el-bin count must not exceed the scan's ring count, else rows

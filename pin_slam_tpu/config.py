@@ -201,6 +201,11 @@ class Config:
     init_iter_ratio: int = 40
     opt_adam: bool = True
     bs: int = 16384
+    # per-frame training history subset (slam/mapper.py make_train_loop):
+    # the candidate probe is the train program's dominant fixed cost; the
+    # subset is probed once and reused epoch-style by the iterations.
+    # 0 = reference-exact per-iteration full-pool draws.
+    train_subset_hist: int = 65536
     lr: float = 0.01
     lr_pose: float = 1e-4
     lr_ba_map: float = 0.01
@@ -614,6 +619,8 @@ class Config:
             self.iters = o.get("iters", self.iters)
             self.init_iter_ratio = o.get("init_iter_ratio", self.init_iter_ratio)
             self.bs = o.get("batch_size", self.bs)
+            self.train_subset_hist = int(o.get(
+                "train_subset_hist", self.train_subset_hist))
             self.lr = float(o.get("learning_rate", self.lr))
             self.ba_freq_frame = o.get("ba_freq_frame", 0)
             self.ba_frame = o.get("ba_local_frame", self.ba_frame)

@@ -581,6 +581,7 @@ def make_train_loop(
     loss_kwargs: dict,
     mesh=None,
     dp_axis: str = "dp",
+    subset_hist: int = 0,
 ):
     """Whole per-frame training run (`n_iters` mapping iterations) as ONE
     jitted lax.scan program — a single device dispatch per frame instead of
@@ -599,6 +600,13 @@ def make_train_loop(
     frozen = {"geo_mlp", "color_mlp", "sem_mlp"}
     dp_on = mesh is not None
     pre_gather = n_iters <= 32
+    # subset mode: draw ONE per-frame history subset, probe/pack it once,
+    # and let every iteration take a rotating contiguous slice of it —
+    # the candidate probe is the dominant fixed cost of the train program
+    # (~25 ms at 196k queries on v5e) and shrinks 3x at the default
+    # subset size. Per-iteration new-sample mixing keeps the exact
+    # reference semantics (utils/mapper.py:452-480).
+    use_subset = pre_gather and subset_hist >= bs
 
     def dp_key(key):
         if not dp_on:
@@ -695,13 +703,14 @@ def make_train_loop(
         return (params, opt_state, pool, lf, use_new, lset), (loss, contrib)
 
     def loop(params, opt_state, state, pool, key, lf, use_new, lset=None):
-        keys = jax.random.split(key, n_iters + 1)
         if lset is None:
+            keys = jax.random.split(key, n_iters + 1)
             carry, losses = jax.lax.scan(
                 one, (params, opt_state, state, pool, lf, use_new, lset),
                 keys[1:])
             params, opt_state, state = carry[:3]
             return params, opt_state, state, keys[0], losses
+        keys = jax.random.split(key, n_iters + 2)
 
         # ---- local mode: gather compact params, train, scatter back once
         C = state.capacity
@@ -724,22 +733,10 @@ def make_train_loop(
         # eps << voxel
         cand_k = qp.nn_k + 2
 
-        def draw(k):
-            kb, kc = jax.random.split(k)
-            return (draw_batch_indices(dp_key(kb), pool, bs, bs_new,
-                                       use_new), dp_key(kc))
-
-        bidxs, kcs = jax.vmap(draw)(keys[1:])            # [n_iters, bs]
-        flat_idx = bidxs.idx.reshape(-1)
-        if pre_gather:
-            # pre-gather every iteration's pool rows in one pass (labels
-            # are constant during the run; keeps [pool]-sized gathers out
-            # of the scan body). The pool columns are packed into one
-            # [P+1, 6+] array first so this is ONE row gather instead of
-            # four (TPU random-gather cost is per row, not per byte; the
-            # transient pack materialization is bandwidth-cheap). Skipped
-            # for the long init-frame loop, where n_iters * bs label
-            # copies would cost ~150 MB of HBM.
+        def pack_pool_rows(flat_idx):
+            # pool columns packed into one [*, 6+] array so the pre-gather
+            # is ONE row gather instead of four (TPU random-gather cost is
+            # per row, not per byte)
             parts = [pool.coord, pool.sdf_label[:, None],
                      pool.weight[:, None],
                      pool.ts.astype(jnp.float32)[:, None]]
@@ -747,49 +744,163 @@ def make_train_loop(
                 parts.append(pool.sem_label.astype(jnp.float32)[:, None])
             if loss_kwargs.get("color_on") and pool.color_label is not None:
                 parts.append(pool.color_label)
-            packed = jnp.concatenate(parts, axis=1)[flat_idx]
-            coords_all = packed[:, :3]
-            batches = {
-                "coord": coords_all.reshape(n_iters, bs, 3),
-                "sdf_label": packed[:, 3].reshape(n_iters, bs),
-                "weight": packed[:, 4].reshape(n_iters, bs),
-                "ts": packed[:, 5].astype(jnp.int32).reshape(n_iters, bs),
+            return jnp.concatenate(parts, axis=1)[flat_idx]
+
+        def unpack_batch(packed, lead_shape):
+            batch = {
+                "coord": packed[..., :3].reshape(*lead_shape, 3),
+                "sdf_label": packed[..., 3].reshape(lead_shape),
+                "weight": packed[..., 4].reshape(lead_shape),
+                "ts": packed[..., 5].astype(jnp.int32).reshape(lead_shape),
             }
             col = 6
             if loss_kwargs.get("semantic_on") and pool.sem_label is not None:
-                batches["sem_label"] = packed[:, col].astype(
-                    jnp.int32).reshape(n_iters, bs)
+                batch["sem_label"] = packed[..., col].astype(
+                    jnp.int32).reshape(lead_shape)
                 col += 1
             if loss_kwargs.get("color_on") and pool.color_label is not None:
                 cc = pool.color_label.shape[-1]
-                batches["color_label"] = packed[:, col:col + cc].reshape(
-                    n_iters, bs, cc)
-        else:
-            coords_all = pool.coord[flat_idx]
-        # chunk the probe: its ragged pair list lives in SMEM scalar-
-        # prefetch (1 MB limit) and scales with the query count — ~200k
-        # queries per kernel call is safely inside it (the init frame's
-        # iters*init_iter_ratio run would otherwise probe millions at once)
-        chunk_iters = max(1, min(n_iters, (196608 + bs - 1) // bs))
-        idx_parts, val_parts = [], []
-        for s in range(0, n_iters, chunk_iters):
-            e = min(s + chunk_iters, n_iters)
-            qn_c = npm.query_neighbors_join(
-                None, coords_all[s * bs: e * bs], lset, nn_k=cand_k,
-                max_dist2=qp.join_max_dist2, resolution=qp.resolution,
-                local_ids=True)
-            idx_parts.append(qn_c.idx)
-            val_parts.append(qn_c.valid)
-        cand_all = jnp.concatenate(idx_parts).reshape(n_iters, bs, cand_k)
-        cvalid_all = jnp.concatenate(val_parts).reshape(
-            n_iters, bs, cand_k)
+                batch["color_label"] = packed[..., col:col + cc].reshape(
+                    *lead_shape, cc)
+            return batch
 
-        xs = ((kcs, bidxs, cand_all, cvalid_all, batches) if pre_gather
-              else (kcs, bidxs, cand_all, cvalid_all))
-        carry, (losses, contribs) = jax.lax.scan(
-            one_local,
-            (lparams, lopt, pool, lf, use_new, lset), xs)
-        lparams = carry[0]
+        def probe_chunked(coords_all):
+            # chunk the probe: its ragged pair list lives in SMEM scalar-
+            # prefetch (1 MB limit) and scales with the query count — ~200k
+            # queries per kernel call is safely inside it (the init frame's
+            # iters*init_iter_ratio run would otherwise probe millions)
+            nq = coords_all.shape[0]
+            idx_parts, val_parts = [], []
+            for s in range(0, nq, 196608):
+                e = min(s + 196608, nq)
+                qn_c = npm.query_neighbors_join(
+                    None, coords_all[s:e], lset, nn_k=cand_k,
+                    max_dist2=qp.join_max_dist2, resolution=qp.resolution,
+                    local_ids=True)
+                idx_parts.append(qn_c.idx)
+                val_parts.append(qn_c.valid)
+            return jnp.concatenate(idx_parts), jnp.concatenate(val_parts)
+
+        if use_subset:
+            # never probe more subset rows than the run would draw anyway
+            S_h = max(bs, min(subset_hist, n_iters * bs))
+            S_n = bs_new * n_iters
+            hist_idx = jax.random.randint(
+                dp_key(keys[1]), (S_h,), 0, jnp.maximum(pool.count, 1))
+
+            def draw_new(k):
+                kb, kc = jax.random.split(k)
+                sel = jax.random.randint(
+                    dp_key(kb), (bs_new,), 0,
+                    jnp.maximum(pool.new_count, 1))
+                return pool.new_idx[sel], dp_key(kc)
+
+            if bs_new > 0:
+                new_rows, kcs = jax.vmap(draw_new)(keys[2:])
+                sub_idx = jnp.concatenate([hist_idx, new_rows.reshape(-1)])
+            else:
+                kcs = jax.vmap(dp_key)(keys[2:])
+                sub_idx = hist_idx
+            packed_sub = pack_pool_rows(sub_idx)
+            # fold row validity into the weight column: mapping_loss drops
+            # weight==0 rows, so invalid pool indices never train
+            packed_sub = packed_sub.at[:, 4].set(jnp.where(
+                sub_idx < pool.count, packed_sub[:, 4], 0.0))
+            cand_sub, cval_sub = probe_chunked(packed_sub[:, :3])
+            cols = packed_sub.shape[1]
+            # doubled history region: every iteration's batch is a wrap-
+            # free CONTIGUOUS slice (dynamic_slice, no gather) at a
+            # rotating bs-coprime stride, i.e. epoch-style reuse of the
+            # once-probed subset
+            ph2 = jnp.concatenate([packed_sub[:S_h], packed_sub[:S_h]])
+            ch2 = jnp.concatenate([cand_sub[:S_h], cand_sub[:S_h]])
+            cv2 = jnp.concatenate([cval_sub[:S_h], cval_sub[:S_h]])
+            stride = bs + max(bs // 4, 1)
+            starts = jnp.asarray(
+                [(i * stride) % S_h for i in range(n_iters)], jnp.int32)
+            if bs_new > 0:
+                new_pack = packed_sub[S_h:].reshape(n_iters, bs_new, cols)
+                new_cand = cand_sub[S_h:].reshape(n_iters, bs_new, cand_k)
+                new_cval = cval_sub[S_h:].reshape(n_iters, bs_new, cand_k)
+                xs = (kcs, starts, new_pack, new_cand, new_cval)
+            else:
+                xs = (kcs, starts)
+
+            def one_subset(carry, xs_i):
+                params, opt_state, pool_, lf_, use_new_, lset_ = carry
+                if bs_new > 0:
+                    kc, st, npk, ncd, ncv = xs_i
+                else:
+                    kc, st = xs_i
+                hp = jax.lax.dynamic_slice(ph2, (st, 0), (bs, cols))
+                hc = jax.lax.dynamic_slice(ch2, (st, 0), (bs, cand_k))
+                hv = jax.lax.dynamic_slice(cv2, (st, 0), (bs, cand_k))
+                if bs_new > 0:
+                    # per-iteration new-sample tail, exact reference mix
+                    # semantics (min(new_count, bs_new) fresh slots)
+                    slot = use_new_ & (jnp.arange(bs_new) < pool_.new_count)
+                    pk = jnp.concatenate([
+                        hp[: bs - bs_new],
+                        jnp.where(slot[:, None], npk, hp[:bs_new])])
+                    cnd = jnp.concatenate([
+                        hc[: bs - bs_new],
+                        jnp.where(slot[:, None], ncd, hc[:bs_new])])
+                    cnv = jnp.concatenate([
+                        hv[: bs - bs_new],
+                        jnp.where(slot[:, None], ncv, hv[:bs_new])])
+                else:
+                    pk, cnd, cnv = hp, hc, hv
+                batch = unpack_batch(pk, (bs,))
+                bidx = BatchIdx(idx=jnp.zeros(bs, jnp.int32),
+                                mask=jnp.ones(bs, bool))
+                (loss, aux), grads = jax.value_and_grad(
+                    mapping_loss, has_aux=True)(
+                    params, None, pool_, bidx, qp, lf_, key=kc, lset=lset_,
+                    cand=(cnd, cnv), batch=batch, **loss_kwargs)
+                grads = freeze(grads)
+                loss, grads = dp_mean((loss, grads))
+                updates, opt_state = optimizer.update(
+                    grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                qn, w = aux["qn"], aux["w"]
+                contrib = (jnp.where(qn.valid, qn.idx, lset_.cap),
+                           jnp.where(qn.valid, w, 0.0),
+                           jnp.where(qn.valid, aux["ts"][:, None], 0))
+                return (params, opt_state, pool_, lf_, use_new_,
+                        lset_), (loss, contrib)
+
+            carry, (losses, contribs) = jax.lax.scan(
+                one_subset, (lparams, lopt, pool, lf, use_new, lset), xs)
+            lparams = carry[0]
+        else:
+            def draw(k):
+                kb, kc = jax.random.split(k)
+                return (draw_batch_indices(dp_key(kb), pool, bs, bs_new,
+                                           use_new), dp_key(kc))
+
+            bidxs, kcs = jax.vmap(draw)(keys[2:])        # [n_iters, bs]
+            flat_idx = bidxs.idx.reshape(-1)
+            if pre_gather:
+                # pre-gather every iteration's pool rows in one pass
+                # (labels are constant during the run; keeps [pool]-sized
+                # gathers out of the scan body). Skipped for the long
+                # init-frame loop, where n_iters * bs label copies would
+                # cost ~150 MB of HBM.
+                packed = pack_pool_rows(flat_idx)
+                coords_all = packed[:, :3]
+                batches = unpack_batch(packed, (n_iters, bs))
+            else:
+                coords_all = pool.coord[flat_idx]
+            cand_flat, cval_flat = probe_chunked(coords_all)
+            cand_all = cand_flat.reshape(n_iters, bs, cand_k)
+            cvalid_all = cval_flat.reshape(n_iters, bs, cand_k)
+
+            xs = ((kcs, bidxs, cand_all, cvalid_all, batches) if pre_gather
+                  else (kcs, bidxs, cand_all, cvalid_all))
+            carry, (losses, contribs) = jax.lax.scan(
+                one_local,
+                (lparams, lopt, pool, lf, use_new, lset), xs)
+            lparams = carry[0]
 
         # one sort-based certainty/ts accumulation for the whole run
         ci, cw, cts = (a.reshape(-1) for a in contribs)

@@ -611,7 +611,8 @@ class PinSLAMSystem:
             inner = mp.make_train_loop(
                 self.qp, self.optimizer, n_iters=iters, bs=c.bs,
                 bs_new=c.bs_new_sample, train_decoder=train_decoder,
-                loss_kwargs=self._loss_kwargs, mesh=self.mesh)
+                loss_kwargs=self._loss_kwargs, mesh=self.mesh,
+                subset_hist=c.train_subset_hist)
             if self._use_join:
                 # fuse the lset build into the same program: one dispatch
                 # for the whole mapping run (jitted callees trace inline).

@@ -1210,6 +1210,15 @@ class PinSLAMSystem:
     def _update_odom_pose(self, frame_id: int, cur_pose: np.ndarray):
         """(reference: dataset/slam_dataset.py:507-569)"""
         c = self.config
+        # project the tracker's float32 rotation back onto SO(3): each
+        # frame's output carries ~1e-5 scale/shear which COMPOUNDS through
+        # the pose chain (~0.3 % by frame 1000, measured) — enough to
+        # corrupt downstream relative-pose math and rotation metrics
+        U, _, Vt = np.linalg.svd(cur_pose[:3, :3])
+        if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+            U[:, 2] *= -1.0
+        cur_pose = cur_pose.copy()
+        cur_pose[:3, :3] = U @ Vt
         self.cur_pose_ref = cur_pose
         self.last_odom_tran = np_se3_inv(self.last_pose_ref) @ cur_pose
 

@@ -215,3 +215,45 @@ class TestRebootRecovery:
         assert not system.decoder_freezed
         # the reboot frame maps unconditionally (did_map True)
         assert system.last_did_map
+
+
+class TestRotationMetricRobustness:
+    def test_non_orthonormal_chain_not_underreported(self):
+        """Estimated chains compound float32 rotations and drift off SO(3)
+        (~0.3 % scale/shear by frame 1000); the plain trace formula clips
+        trace>3 to 0 deg and silently under-reports ARE (measured: a real
+        6.5 deg chain error scored 0.00). rotation_angle_deg must project
+        to SO(3) first."""
+        from scipy.spatial.transform import Rotation as R
+        from pin_slam_tpu.utils.eval_traj import (absolute_error,
+                                                  rotation_angle_deg)
+
+        n, yaw_per_frame = 200, 0.03   # 6 deg total yaw drift
+        gt = np.tile(np.eye(4), (n, 1, 1))
+        est = gt.copy()
+        for i in range(n):
+            gt[i, :3, 3] = [0.1 * i, 0.0, 0.0]
+            Ri = R.from_euler("z", np.radians(yaw_per_frame * i)).as_matrix()
+            # the scale/shear contamination of a compounded f32 chain
+            D = np.eye(3) + 3e-3 * np.eye(3) + 2e-3 * np.array(
+                [[0, 1, 0], [0, 0, 0], [0, 0, 0]])
+            est[i, :3, :3] = Ri @ D
+            est[i, :3, 3] = gt[i, :3, 3]
+        ang = rotation_angle_deg(est[-1, :3, :3])
+        assert abs(ang - yaw_per_frame * (n - 1)) < 0.1
+        _, are = absolute_error(gt, est, align_on=False)
+        true_rms = np.sqrt(np.mean(
+            (yaw_per_frame * np.arange(n)) ** 2))
+        assert abs(are - true_rms) < 0.2
+
+    def test_update_odom_pose_projects_so3(self):
+        cfg = small_config()
+        system = PinSLAMSystem(cfg)
+        T = np.eye(4)
+        T[:3, :3] *= 1.003        # scale contamination
+        T[:3, 3] = [0.1, 0, 0]
+        system.pgo_poses[0] = np.eye(4)
+        system.odom_poses[0] = np.eye(4)
+        system._update_odom_pose(1, T)
+        Rm = system.pgo_poses[1][:3, :3]
+        np.testing.assert_allclose(Rm @ Rm.T, np.eye(3), atol=1e-9)

@@ -87,6 +87,10 @@ def main():
     p.add_argument("--cap", type=int, default=14,
                    help="log2 initial map capacity (small on purpose so "
                         "the growth watchdog fires; raise to isolate it)")
+    p.add_argument("--gt-poses", action="store_true",
+                   help="mapping mode: feed mid-sweep GT poses, no "
+                        "tracking/PGO — isolates MAP fidelity (the floor "
+                        "probe's pose-error-free upper bound)")
     p.add_argument("--out", default=None)
     a = p.parse_args()
 
@@ -113,8 +117,8 @@ def main():
     from pin_slam_tpu.utils.eval_traj import absolute_error, relative_error
 
     cfg = Config()
-    cfg.track_on = True
-    cfg.pgo_on = True
+    cfg.track_on = not a.gt_poses
+    cfg.pgo_on = not a.gt_poses
     cfg.max_range = a.rng
     cfg.min_range = 0.5
     cfg.vox_down_m = 0.1
@@ -184,6 +188,13 @@ def main():
         sweep=not a.no_sweep)
 
     system = PinSLAMSystem(cfg)
+    if a.gt_poses:
+        # deskew anchors every scan at its MID-SWEEP pose; mapping mode
+        # must be fed the same convention or every insert is half a frame
+        # of motion off
+        system.set_gt_poses(np.stack(
+            [seq._pose_at(i, 0.5) for i in range(len(seq))])
+            if cfg.deskew else poses)
     loop_mgr = LoopPgoManager(cfg, system)
 
     rng = np.random.RandomState(7)
@@ -203,7 +214,8 @@ def main():
                                  / np.maximum(d, 1.0))
         if cfg.deskew and fid > 0 and not system.lose_track:
             pts = SLAMDataset.deskew(pts, ts, system.last_odom_tran)
-        hook = (lambda f, _p=pts: loop_mgr.after_frame(f, _p))
+        hook = ((lambda f, _p=pts: loop_mgr.after_frame(f, _p))
+                if cfg.pgo_on else None)
         system.process_frame(fid, pts, loop_hook=hook)
         if cfg.map_capacity != cap0 and (
                 not growth_events or growth_events[-1][1] != cfg.map_capacity):
@@ -364,7 +376,7 @@ def main():
             "max_range_m": a.rng, "noise_m": a.noise,
             "start_capacity_log2": a.cap, "dynamic": a.dynamic,
             "no_sweep": a.no_sweep, "no_deskew": a.no_deskew,
-            "incidence": a.incidence,
+            "incidence": a.incidence, "gt_poses": a.gt_poses,
         },
         "frames": n,
         "deskew": cfg.deskew,

@@ -294,40 +294,57 @@ def main():
         mc_res_m=0.15, mesh_min_nn=10, infer_bs=1 << 13, skip_top_voxel=0))
     A0i = np.linalg.inv(A0)
     zs = np.linspace(-7.0, -3.0, 201)
-    # fixed floor locations INSIDE the oval, clear of the island/pillars:
-    # the lidar's elevation fan (-20 deg) only reaches the floor 14-22 m
-    # out, so the floor directly under the track is a map hole — these
-    # points are observed at the grazing incidence the bias acts on
-    probe_xy, col_w = [], []
-    for (x, y) in [(12.0, 4.0), (12.0, -4.0), (-12.0, 4.0),
-                   (-12.0, -4.0), (0.0, 12.0), (0.0, -12.0)]:
-        probe_xy.append((x, y))
-        col_w.append(np.stack([np.full_like(zs, x),
-                               np.full_like(zs, y), zs], -1))
-    col_w = np.concatenate(col_w).astype(np.float32)       # [6*201, 3]
+    # dense grid of floor columns (2 m pitch) across the hall, keeping
+    # only columns whose ANALYTIC crossing is a clean open floor (SDF
+    # straddles zero in [-7,-3] and the crossing sits near the z=-5
+    # plane — this drops pillar/island columns without hardcoding the
+    # scene layout). A column contributes only where the learned map has
+    # neighbors (nn gate), so coverage holes self-exclude; the summary is
+    # then a mean over O(100) observed columns instead of 1-2 hand-picked
+    # points.
+    gx, gy = np.meshgrid(np.arange(-22.0, 22.1, 2.0),
+                         np.arange(-22.0, 22.1, 2.0))
+    cand_xy = np.stack([gx.ravel(), gy.ravel()], -1)
+    lo = np.full(len(cand_xy), -7.0)
+    hi = np.full(len(cand_xy), -3.0)
+    top = static_scene(np.c_[cand_xy, hi])
+    bot = static_scene(np.c_[cand_xy, lo])
+    clean = (top > 0.2) & (bot < -0.2)
+    for _ in range(40):               # vectorized bisection, clean cols
+        mid = 0.5 * (lo + hi)
+        pos = static_scene(np.c_[cand_xy, mid]) > 0
+        hi = np.where(pos, mid, hi)
+        lo = np.where(pos, lo, mid)
+    gt_z_all = 0.5 * (lo + hi)
+    clean &= np.abs(gt_z_all - (-5.0)) < 0.6
+    probe_xy = cand_xy[clean]
+    gt_z_all = gt_z_all[clean]
+    n_cols = len(probe_xy)
+    col_w = np.concatenate([
+        np.stack([np.full_like(zs, x), np.full_like(zs, y), zs], -1)
+        for (x, y) in probe_xy]).astype(np.float32)     # [n_cols*201, 3]
     col_m = col_w @ A0i[:3, :3].T.astype(np.float32) + \
         A0i[:3, 3].astype(np.float32)
-    batch = np.zeros((1 << 13, 3), np.float32)
+    bs_q = 1 << 13
+    n_pad = ((col_m.shape[0] + bs_q - 1) // bs_q) * bs_q
+    batch = np.zeros((n_pad, 3), np.float32)
     batch[: col_m.shape[0]] = col_m
-    sdf_col, nn_col = probe_mesher._query_batch(
-        system.state, system.params["geo_features"],
-        system.params["geo_mlp"], jnp.asarray(batch))
-    sdf_col = np.asarray(sdf_col)[: col_m.shape[0]].reshape(6, -1)
-    nn_col = np.asarray(nn_col)[: col_m.shape[0]].reshape(6, -1)
+    sdf_l, nn_l = [], []
+    for k0 in range(0, n_pad, bs_q):
+        s_, n_ = probe_mesher._query_batch(
+            system.state, system.params["geo_features"],
+            system.params["geo_mlp"], jnp.asarray(batch[k0:k0 + bs_q]))
+        sdf_l.append(np.asarray(s_))
+        nn_l.append(np.asarray(n_))
+    sdf_col = np.concatenate(sdf_l)[: col_m.shape[0]].reshape(n_cols, -1)
+    nn_col = np.concatenate(nn_l)[: col_m.shape[0]].reshape(n_cols, -1)
     floor_probe = []
-    for k, (x, y) in enumerate(probe_xy):
-        # GT crossing by bisection on the analytic SDF along the column
-        lo_z, hi_z = -7.0, -3.0
-        for _ in range(50):
-            mid = 0.5 * (lo_z + hi_z)
-            if static_scene(np.array([[x, y, mid]]))[0] > 0:
-                hi_z = mid
-            else:
-                lo_z = mid
-        gt_z = 0.5 * (lo_z + hi_z)
+    for k in range(n_cols):
+        x, y = probe_xy[k]
+        gt_z = gt_z_all[k]
         s, nnk = sdf_col[k], nn_col[k]
-        entry = {"xy": [x, y], "gt_z": gt_z, "est_z": None, "err_m": None,
-                 "max_nn": int(nnk.max())}
+        entry = {"xy": [float(x), float(y)], "gt_z": float(gt_z),
+                 "est_z": None, "err_m": None, "max_nn": int(nnk.max())}
         for gate in (6, 3):          # well-observed first; sparse fallback
             cross = np.where((s[:-1] <= 0) & (s[1:] > 0)
                              & (nnk[:-1] >= gate) & (nnk[1:] >= gate))[0]
@@ -394,9 +411,17 @@ def main():
         # coming from the refined edges themselves or the solver pricing?
         "loop_edges": [
             _edge_errors(dg, gt_eval) for dg in loop_mgr.pgm.loop_diags],
-        "floor_probe": floor_probe,
+        # compact per-column rows [x, y, err_m] for the estimated columns
+        "floor_probe": [[p_["xy"][0], p_["xy"][1], round(p_["err_m"], 4)]
+                        for p_ in floor_probe if p_["err_m"] is not None],
+        "floor_columns_clean": n_cols,
+        "floor_columns_estimated": len(probe_errs),
         "floor_err_mean_m": (float(np.mean(probe_errs))
                              if probe_errs else None),
+        "floor_err_median_m": (float(np.median(probe_errs))
+                               if probe_errs else None),
+        "floor_err_p90_abs_m": (float(np.percentile(
+            np.abs(probe_errs), 90)) if probe_errs else None),
         "floor_err_max_abs_m": (float(np.max(np.abs(probe_errs)))
                                 if probe_errs else None),
         "mesh_exact": exact,

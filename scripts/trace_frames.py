@@ -100,6 +100,8 @@ def parse(trace_dir: str, ops_of: str = ""):
     per_prog = defaultdict(list)
     per_op = defaultdict(float)
     t_lo = t_hi = None
+    prog_windows = []   # (t0, t1) of every instance of the --ops program
+    op_events = []      # (t0, name, dur) of XLA Ops rows, matched after
     for ev in events:
         if ev.get("ph") != "X":
             continue
@@ -112,9 +114,35 @@ def parse(trace_dir: str, ops_of: str = ""):
             t_lo = t0 if t_lo is None else min(t_lo, t0)
             t_hi = t0 + ev.get("dur", 0) if t_hi is None else max(
                 t_hi, t0 + ev.get("dur", 0))
+            if ops_of and name.startswith(ops_of):
+                prog_windows.append((t0, t0 + ev.get("dur", 0)))
         elif ops_of and "XLA Ops" in tn:
-            hlo = ev.get("args", {}).get("long_name", ev["name"])
-            per_op[ev["name"].split(".")[0]] += dur_ms
+            op_events.append((ev["ts"], ev["name"], dur_ms))
+    per_op_in_while = defaultdict(float)
+    if ops_of:
+        # attribute ops to the target program by timestamp containment,
+        # and further split by containment in a `while` op (the scan/GN
+        # loop body) vs the program's fixed prolog/epilog
+        prog_windows.sort()
+        import bisect
+        starts = [w[0] for w in prog_windows]
+        while_windows = sorted(
+            (ts, ts + dur_ms * 1e3) for ts, name, dur_ms in op_events
+            if name.split(".")[0] == "while")
+        wstarts = [w[0] for w in while_windows]
+
+        def inside(ts, ws, wins):
+            i = bisect.bisect_right(ws, ts) - 1
+            return i >= 0 and ts < wins[i][1]
+
+        for ts, name, dur_ms in op_events:
+            if not inside(ts, starts, prog_windows):
+                continue
+            if name.split(".")[0] != "while" and inside(
+                    ts, wstarts, while_windows):
+                per_op_in_while[name.split(".")[0]] += dur_ms
+            else:
+                per_op[name.split(".")[0]] += dur_ms
     total = sum(sum(v) for v in per_prog.values())
     span = ((t_hi - t_lo) / 1e3) if t_hi else 0.0
     print(f"window {span:.1f} ms, device busy {total:.1f} ms "
@@ -124,8 +152,12 @@ def parse(trace_dir: str, ops_of: str = ""):
     for s, n, med, name in rows:
         print(f"  {s:8.1f} ms total  n={n:3d}  med={med:7.2f} ms  {name}")
     if ops_of:
-        print(f"== op aggregate (all programs), top 40")
+        print(f"== op aggregate inside '{ops_of}*' OUTSIDE while, top 40")
         for name, s in sorted(per_op.items(), key=lambda kv: -kv[1])[:40]:
+            print(f"  {s:8.1f} ms  {name}")
+        print(f"== op aggregate inside '{ops_of}*' INSIDE while, top 40")
+        for name, s in sorted(per_op_in_while.items(),
+                              key=lambda kv: -kv[1])[:40]:
             print(f"  {s:8.1f} ms  {name}")
 
 

@@ -168,6 +168,57 @@ def pack_lset_rows(lset, geo_features: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_splitgrad_impl(nshape, fshape, nodiff_cols, feats, idx):
+    nd = nshape[-1]
+    g = jnp.concatenate([nodiff_cols, feats], axis=-1)[idx]
+    return g[..., :nd], g[..., nd:]
+
+
+def _gather_splitgrad_fwd(nshape, fshape, nodiff_cols, feats, idx):
+    return _gather_splitgrad_impl(nshape, fshape, nodiff_cols, feats,
+                                  idx), (idx,)
+
+
+def _gather_splitgrad_bwd(nshape, fshape, res, cts):
+    (idx,) = res
+    _, ct_f = cts
+    d_feats = jnp.zeros(fshape, ct_f.dtype).at[idx].add(ct_f)
+    return (jnp.zeros(nshape, jnp.float32), d_feats,
+            np.zeros(idx.shape, jax.dtypes.float0))
+
+
+_gather_splitgrad_impl.defvjp(_gather_splitgrad_fwd, _gather_splitgrad_bwd)
+
+
+def gather_rows_splitgrad(nodiff_cols: jnp.ndarray, feats: jnp.ndarray,
+                          idx: jnp.ndarray):
+    """One packed row gather with a FEATURE-ONLY backward scatter.
+
+    Forward = `concat([nodiff_cols, feats], -1)[idx]` split back into
+    (nodiff rows, feat rows): one [rows]-gather for everything (TPU
+    random-gather cost is per row). Backward scatters ONLY the feature
+    cotangent into a [L+1, F] zero array — the default autodiff of the
+    packed gather instead pads the feature cotangent back to the full
+    packed width and scatter-adds all 3(+4)+F columns, which measured
+    ~27% of the whole train-iteration device time for pure-zero position
+    columns (trace: fusion.514, f32[65537,11] scatter of 98304 rows)."""
+    return _gather_splitgrad_impl(tuple(nodiff_cols.shape),
+                                  tuple(feats.shape), nodiff_cols, feats,
+                                  idx)
+
+
+def pack_lset_nodiff(lset) -> jnp.ndarray:
+    """The non-differentiated row columns [pts(3) | quat(4, when
+    deformed)] for gather_rows_splitgrad."""
+    if lset.quat is not None:
+        return jnp.concatenate([lset.pts, lset.quat], axis=1)
+    return lset.pts
+
+
 def _unpack_rows(g: jnp.ndarray, has_quat: bool):
     """Split a pack_lset_rows gather [..., 3(+4)+F] -> (pos, quat, feats);
     pos/quat are stop_gradient'd (map geometry takes no training grad)."""
@@ -254,12 +305,15 @@ def query_decode(
         )
 
     # differentiable distance & offsets computed in the anchored frame.
-    # With cand_pack, (pos, quat, feats) come from ONE row gather.
+    # With cand_pack = (nodiff cols, feature array), (pos, quat, feats)
+    # come from ONE row gather whose backward scatters features only.
     quat_g = None
     if cand_pack is not None:
-        g = cand_pack[qn.idx]                            # [N, k, 3(+4)+F]
-        pos, quat_g, feats_raw = _unpack_rows(
-            g, lset is not None and lset.quat is not None)
+        nd_g, feats_raw = gather_rows_splitgrad(
+            cand_pack[0], cand_pack[1], qn.idx)          # [N, k, ...]
+        pos = jax.lax.stop_gradient(nd_g[..., :3])
+        if lset is not None and lset.quat is not None:
+            quat_g = jax.lax.stop_gradient(nd_g[..., 3:7])
     else:
         pos_src = state.positions if lset is None else lset.pts
         pos = pos_src[qn.idx]
@@ -529,8 +583,11 @@ def numerical_grad_shared_join(
             local_ids=True)
     quat_g = None
     if cand_pack is not None:
-        g = cand_pack[qn.idx]
-        pos, quat_g, feats_raw = _unpack_rows(g, lset.quat is not None)
+        nd_g, feats_raw = gather_rows_splitgrad(
+            cand_pack[0], cand_pack[1], qn.idx)
+        pos = jax.lax.stop_gradient(nd_g[..., :3])
+        if lset.quat is not None:
+            quat_g = jax.lax.stop_gradient(nd_g[..., 3:7])
         feats = _maybe_layer_norm(feats_raw, qp.layer_norm_on)
     else:
         pos = lset.pts[qn.idx]                          # [M, 12, 3]

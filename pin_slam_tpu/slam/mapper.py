@@ -345,8 +345,8 @@ def mapping_loss(
 
     # one packed row gather serves the main decode AND the eikonal term's
     # shared-candidate queries: pos/quat/feats fetched together, backward
-    # = a single merged feature scatter (see mq.pack_lset_rows)
-    cand_pack = (mq.pack_lset_rows(lset, params["geo_features"])
+    # = a single FEATURE-ONLY scatter (see mq.gather_rows_splitgrad)
+    cand_pack = ((mq.pack_lset_nodiff(lset), params["geo_features"])
                  if (cand is not None and lset is not None) else None)
     out = mq.query_decode(
         state, params["geo_features"], params["geo_mlp"], coord, qp,
@@ -582,6 +582,7 @@ def make_train_loop(
     mesh=None,
     dp_axis: str = "dp",
     subset_hist: int = 0,
+    subset_cert_periter: bool = False,
 ):
     """Whole per-frame training run (`n_iters` mapping iterations) as ONE
     jitted lax.scan program — a single device dispatch per frame instead of
@@ -862,16 +863,87 @@ def make_train_loop(
                 updates, opt_state = optimizer.update(
                     grads, opt_state, params)
                 params = jax.tree.map(lambda p, u: p + u, params, updates)
-                qn, w = aux["qn"], aux["w"]
-                contrib = (jnp.where(qn.valid, qn.idx, lset_.cap),
-                           jnp.where(qn.valid, w, 0.0),
-                           jnp.where(qn.valid, aux["ts"][:, None], 0))
-                return (params, opt_state, pool_, lf_, use_new_,
-                        lset_), (loss, contrib)
+                out_c = (params, opt_state, pool_, lf_, use_new_, lset_)
+                if subset_cert_periter:
+                    # legacy per-iteration emission (kept for the
+                    # equality regression test of the multiplicity-based
+                    # accumulation below)
+                    qn, w = aux["qn"], aux["w"]
+                    contrib = (jnp.where(qn.valid, qn.idx, lset_.cap),
+                               jnp.where(qn.valid, w, 0.0),
+                               jnp.where(qn.valid, aux["ts"][:, None], 0))
+                    return out_c, (loss, contrib)
+                return out_c, loss
 
-            carry, (losses, contribs) = jax.lax.scan(
-                one_subset, (lparams, lopt, pool, lf, use_new, lset), xs)
+            if subset_cert_periter:
+                carry, (losses, contribs_pi) = jax.lax.scan(
+                    one_subset, (lparams, lopt, pool, lf, use_new, lset),
+                    xs)
+            else:
+                carry, losses = jax.lax.scan(
+                    one_subset, (lparams, lopt, pool, lf, use_new, lset),
+                    xs)
             lparams = carry[0]
+
+            # certainty/ts side effects at the SUBSET level: a subset
+            # row's neighbors and IDW weights are FRAME-CONSTANT (map
+            # positions do not move during the run; the candidate re-rank
+            # is deterministic), so its total contribution over the run
+            # is multiplicity x weight — the multiplicity of each history
+            # row follows from the STATIC window schedule (starts/stride)
+            # plus a traced correction for the tail slots the new-sample
+            # mix replaces. Exactly equal to per-iteration accumulation,
+            # but the sorted-accumulation pass runs over S+new rows
+            # (~78k x k) instead of n_iters x bs x k (~1.2M) rows.
+            k_nn = qp.nn_k
+            idx6 = cand_sub[:, :k_nn]
+            val6 = cval_sub[:, :k_nn]
+            pos6 = lset.pts[jnp.where(val6, idx6, lset.cap)]
+            diff6 = packed_sub[:, None, :3] - pos6
+            d2 = jnp.sum(diff6 * diff6, axis=-1)
+            d2 = jnp.where(val6, d2, npm.BIG_DIST2)
+            qn6 = npm.QueryNeighbors(
+                idx=idx6, dist2=d2, valid=val6,
+                nn_count=jnp.sum(val6, -1).astype(jnp.int32))
+            w6 = npm.idw_weights(qn6, idw_index=qp.idw_index)
+
+            # history multiplicity from the batch-assembly rule
+            # pk = [window head rows 0..bs-bs_new) |
+            #       slot-active ? new draw : window row j' (j' < bs_new)]:
+            # each window contributes +1 over its first bs-bs_new rows,
+            # +1 over its first bs_new rows (the inactive-slot fallback),
+            # and a traced -1 on the first `nc` of those when the new mix
+            # is active; the window's last bs_new rows are never used.
+            starts_np = [(i * stride) % S_h for i in range(n_iters)]
+            base_np = np.zeros(S_h, np.float32)
+            for st_ in starts_np:
+                for e_ in (st_ + bs - bs_new, st_ + min(bs_new, bs)):
+                    base_np[st_:min(e_, S_h)] += 1
+                    if e_ > S_h:
+                        base_np[: e_ - S_h] += 1
+            mult_hist = jnp.asarray(base_np)
+            if bs_new > 0:
+                nc = jnp.where(
+                    use_new,
+                    jnp.clip(pool.new_count, 0, bs_new), 0)
+                tmask = (jnp.arange(bs_new) < nc).astype(jnp.float32)
+                heads_np = np.asarray(
+                    [[(st_ + j) % S_h for j in range(bs_new)]
+                     for st_ in starts_np], np.int32)
+                mult_hist = mult_hist.at[jnp.asarray(heads_np)].add(
+                    -jnp.broadcast_to(tmask, heads_np.shape))
+                mult_new = jnp.broadcast_to(
+                    tmask, (n_iters, bs_new)).reshape(-1)
+                mult = jnp.concatenate([mult_hist, mult_new])
+            else:
+                mult = mult_hist
+            ts_sub = packed_sub[:, 5].astype(jnp.int32)
+            ci = jnp.where(val6, idx6, lset.cap)
+            cw = jnp.where(val6, w6, 0.0) * mult[:, None]
+            cts = jnp.where((mult[:, None] > 0.5) & val6, ts_sub[:, None], 0)
+            contribs = (ci, cw, cts)
+            if subset_cert_periter:
+                contribs = contribs_pi
         else:
             def draw(k):
                 kb, kc = jax.random.split(k)

@@ -261,3 +261,87 @@ class TestSortedCertainty:
         np.testing.assert_allclose(np.asarray(cert), ref_c, rtol=2e-4,
                                    atol=2e-3)
         assert np.array_equal(np.asarray(tsu), ref_t)
+
+
+class TestSubsetCertaintyEquality:
+    """The subset-mode training loop accumulates certainty/ts from ONE
+    multiplicity-weighted pass over the per-frame subset instead of
+    stacking every iteration's contributions (a 1.2M-row double sort at
+    the bench shapes). The two must be numerically equal: a subset row's
+    neighbors and IDW weights are frame-constant, so its run total is
+    multiplicity x weight. This test runs the SAME loop with the legacy
+    per-iteration emission (subset_cert_periter=True) and compares."""
+
+    def _world(self, seed=0):
+        import optax
+        cfg = Config()
+        cfg.voxel_size_m = 0.4
+        cfg.finalize()
+        qp = mq.make_query_params(cfg)
+        state = npm.init_map_state(1 << 12, 1 << 14, 8, color_on=False)
+        g = np.stack(np.meshgrid(np.arange(-8, 8), np.arange(-8, 8),
+                                 indexing="ij"), -1).reshape(-1, 2) * 0.4
+        pts = np.concatenate(
+            [g, np.zeros((g.shape[0], 1))], 1).astype(np.float32)
+        td = jnp.zeros(8, jnp.float32)
+        state, _ = npm.insert_points(
+            state, jnp.asarray(pts), jnp.ones(len(pts), bool), 0, td,
+            resolution=0.4, local_window_dist=100.0)
+        pool = mp.init_pool(20_000, 1 << 10, False, 0)
+        rng = np.random.RandomState(seed)
+        sp = pts[rng.randint(0, len(pts), 2000)] + rng.randn(
+            2000, 3).astype(np.float32) * np.array(
+            [0.1, 0.1, 0.3], np.float32)
+        pool = mp.append_samples(
+            pool, jnp.asarray(sp), jnp.asarray(sp[:, 2].copy()),
+            jnp.ones(2000), jnp.ones(2000, bool), 0)
+        # mark some rows "new" so the per-iteration new-sample tail (and
+        # its multiplicity correction) is exercised, with new_count NOT a
+        # multiple of bs_new
+        n_new = 37
+        pool = pool.replace(
+            new_idx=pool.new_idx.at[:n_new].set(
+                jnp.arange(100, 100 + n_new, dtype=jnp.int32)),
+            new_count=jnp.int32(n_new))
+        from pin_slam_tpu.ops.knn_join import build_local_set
+        lset = build_local_set(
+            state.positions, np.ones(state.capacity, bool), 0.4, 1 << 10,
+            certainty=state.certainty, ts_update=state.ts_update)
+        geo_mlp = init_mlp_params(jax.random.PRNGKey(7), 11, 64, 1, 1)
+        params = {"geo_features": state.geo_features, "geo_mlp": geo_mlp}
+        lf = mq.LocalFilter(travel_dist=td, cur_ts=jnp.int32(0),
+                            local_window_dist=100.0)
+        lk = dict(sigma_sigmoid_m=0.1, loss_weight_on=False,
+                  ekional_loss_on=True, weight_e=0.5,
+                  numerical_grad_eps=0.08, gradient_decimation=10,
+                  surface_sample_range_m=0.25)
+        opt = optax.adam(0.01, eps=1e-15)
+        return dict(cfg=cfg, qp=qp, state=state, pool=pool, lset=lset,
+                    params=params, lf=lf, lk=lk, opt=opt)
+
+    @pytest.mark.parametrize("use_new,bs_new", [(True, 64), (False, 64),
+                                                (True, 0)])
+    def test_matches_periter(self, use_new, bs_new):
+        w = self._world()
+        outs = []
+        for periter in (False, True):
+            loop = mp.make_train_loop(
+                w["qp"], w["opt"], n_iters=6, bs=256, bs_new=bs_new,
+                train_decoder=True, loss_kwargs=w["lk"],
+                subset_hist=512, subset_cert_periter=periter)
+            params0 = jax.tree.map(jnp.copy, w["params"])
+            ostate = w["opt"].init(params0)
+            outs.append(loop(params0, ostate, w["state"], w["pool"],
+                             jax.random.PRNGKey(5), w["lf"],
+                             jnp.bool_(use_new), w["lset"]))
+        (p_new, _, s_new, _, l_new), (p_old, _, s_old, _, l_old) = outs
+        np.testing.assert_allclose(np.asarray(l_new), np.asarray(l_old),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(p_new["geo_features"]),
+            np.asarray(p_old["geo_features"]), atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(s_new.certainty), np.asarray(s_old.certainty),
+            rtol=1e-4, atol=1e-4)
+        np.testing.assert_array_equal(
+            np.asarray(s_new.ts_update), np.asarray(s_old.ts_update))

@@ -211,6 +211,26 @@ def gather_rows_splitgrad(nodiff_cols: jnp.ndarray, feats: jnp.ndarray,
                                   idx)
 
 
+def topk_select_mask(d2m: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Exact top-k-smallest selection mask over the last axis, with
+    argmin first-index tie semantics, as ONE fused rank computation.
+
+    Equivalent to k rounds of (argmin -> one_hot -> mask-out), which is
+    what it replaces: each round is a full pass over the candidate array
+    and the k-round loop measured ~1 ms per GN iteration at [16k, 12] on
+    v5e (6 separate fusions in the device trace). rank_i = #candidates
+    that beat i (strictly smaller distance, or equal at a lower index);
+    selected = rank < k. Rows holding BIG_DIST2 sentinels select like any
+    other value and are masked by the caller's validity &-mask, exactly
+    as the loop's `ok` check was."""
+    K = d2m.shape[-1]
+    a = d2m[..., :, None]
+    b = d2m[..., None, :]
+    ii = jnp.arange(K)
+    beats = (b < a) | ((b == a) & (ii[..., None, :] < ii[..., :, None]))
+    return jnp.sum(beats, axis=-1) < k
+
+
 def pack_lset_nodiff(lset) -> jnp.ndarray:
     """The non-differentiated row columns [pts(3) | quat(4, when
     deformed)] for gather_rows_splitgrad."""
@@ -507,16 +527,7 @@ def decode_sdf_candidates(
 
     # exact top-k selection mask (discrete; gradients flow through the
     # distances of the selected neighbors only, as in the full query)
-    sel = jnp.zeros_like(use)
-    dwork = jax.lax.stop_gradient(d2m)
-    for _ in range(qp.nn_k):
-        a = jnp.argmin(dwork, axis=-1)
-        hit = jax.nn.one_hot(a, K, dtype=bool)
-        ok = jnp.take_along_axis(dwork, a[..., None], -1)[..., 0] \
-            < npm.BIG_DIST2
-        sel = sel | (hit & ok[..., None])
-        dwork = jnp.where(hit, npm.BIG_DIST2, dwork)
-    use = use & sel
+    use = use & topk_select_mask(jax.lax.stop_gradient(d2m), qp.nn_k)
 
     if qp.idw_index == 2:
         wraw = 1.0 / (d2 + 1e-15)
@@ -602,19 +613,9 @@ def numerical_grad_shared_join(
     valid = qn.valid[None] & (d2 <= qp.join_max_dist2)
     d2m = jnp.where(valid, d2, npm.BIG_DIST2)
 
-    # exact top-6 among the 12 candidates per shifted query, expressed as
-    # a selection mask (cheap 6-round argmin over width 12)
-    sel = jnp.zeros_like(d2m, dtype=bool)
-    dwork = d2m
-    for _ in range(qp.nn_k):
-        a = jnp.argmin(dwork, axis=-1)                  # [6, M]
-        hit = jax.nn.one_hot(a, cand_k, dtype=bool)
-        ok = jnp.take_along_axis(dwork, a[..., None], -1)[..., 0] \
-            < npm.BIG_DIST2
-        sel = sel | (hit & ok[..., None])
-        dwork = jnp.where(hit, npm.BIG_DIST2, dwork)
-
-    use = valid & sel
+    # exact top-nn_k among the candidates per shifted query, as one fused
+    # rank computation (see topk_select_mask)
+    use = valid & topk_select_mask(jax.lax.stop_gradient(d2m), qp.nn_k)
     if qp.idw_index == 2:
         wraw = 1.0 / (d2 + 1e-15)
     else:

@@ -235,3 +235,35 @@ class TestMidTsWindow:
                                    use_mid_ts=True)
         assert int(m_strict.sum()) == 0
         assert int(m_mid.sum()) == int(state.count)
+
+
+class TestTopkSelectMask:
+    def test_matches_argmin_rounds(self):
+        """topk_select_mask == k rounds of argmin+mask (incl. exact ties
+        and BIG_DIST2 sentinel rows, which the caller's valid-mask
+        removes)."""
+        import jax
+        import jax.numpy as jnp
+        from pin_slam_tpu.models import neural_points as npm
+        from pin_slam_tpu.slam.map_query import topk_select_mask
+        rng = np.random.RandomState(3)
+        d = rng.rand(257, 12).astype(np.float32)
+        # inject ties and BIG sentinels
+        d[::5, 3] = d[::5, 7]
+        d[::3, 10:] = npm.BIG_DIST2
+        d[7, :] = npm.BIG_DIST2
+        d2m = jnp.asarray(d)
+        k = 6
+        sel_ref = jnp.zeros(d.shape, bool)
+        dwork = d2m
+        for _ in range(k):
+            a = jnp.argmin(dwork, axis=-1)
+            hit = jax.nn.one_hot(a, d.shape[-1], dtype=bool)
+            ok = jnp.take_along_axis(dwork, a[..., None], -1)[..., 0] \
+                < npm.BIG_DIST2
+            sel_ref = sel_ref | (hit & ok[..., None])
+            dwork = jnp.where(hit, npm.BIG_DIST2, dwork)
+        sel = topk_select_mask(d2m, k)
+        valid = d2m < npm.BIG_DIST2
+        np.testing.assert_array_equal(np.asarray(sel & valid),
+                                      np.asarray(sel_ref & valid))

@@ -79,6 +79,14 @@ def main():
                         "swept-scan/deskew path from the rest)")
     p.add_argument("--skip-mesh", action="store_true",
                    help="trajectory metrics only (fast diagnostics)")
+    p.add_argument("--incidence-cos-floor", type=float, default=None,
+                   help="clamp |cos(incidence)| >= this before scaling "
+                        "(label mode: keeps grazing free labels decisively "
+                        "positive instead of teaching sdf~0 in free space)")
+    p.add_argument("--incidence-mode", default="label",
+                   choices=["label", "weight"],
+                   help="free-space incidence handling: relabel by |cos| "
+                        "or downweight by |cos| (see config.py)")
     p.add_argument("--incidence", action="store_true",
                    help="incidence-weighted projective SDF labels "
                         "(ops/range_image.py) — the grazing-incidence "
@@ -160,6 +168,9 @@ def main():
         cfg.visibility_hist_offsets = (10, 30, 60)
     if a.incidence:
         cfg.incidence_label_on = True
+        cfg.incidence_mode = a.incidence_mode
+        if a.incidence_cos_floor is not None:
+            cfg.incidence_cos_floor = a.incidence_cos_floor
         # el-bin count must not exceed the scan's ring count, else rows
         # are empty and the op conservatively falls back to no correction
         cfg.incidence_bins_az = 512

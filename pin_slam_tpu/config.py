@@ -143,6 +143,13 @@ class Config:
     # learned-gradient proj_correction (utils/mapper.py:695)
     incidence_label_on: bool = False
     incidence_cos_floor: float = 0.1
+    # "label": scale free-space labels by |cos| (true distance-to-plane;
+    # measured to remove the early z-sink but free labels -> 0 at grazing
+    # teach sdf ~ 0 just above the floor, which can run the tracker away
+    # UPWARD on floor-dominated scenes). "weight": keep labels projective
+    # and scale the free columns' LOSS WEIGHT by |cos| instead — biased
+    # labels lose pull at grazing while staying honestly positive.
+    incidence_mode: str = "label"
     incidence_bins_az: int = 512
     incidence_bins_el: int = 64
     incidence_range_gate_m: float = 0.5

@@ -48,6 +48,7 @@ def sample_training_points(
     sem_labels: Optional[jnp.ndarray] = None,    # [N] i32
     colors: Optional[jnp.ndarray] = None,        # [N, Cc]
     cos_inc: Optional[jnp.ndarray] = None,       # [N] |cos(incidence)|
+    incidence_mode: str = "label",
 ) -> Samples:
     n = points.shape[0]
     s_n, f_n, b_n = surface_sample_n, free_front_n, free_behind_n
@@ -111,7 +112,18 @@ def sample_training_points(
     weight = weight.at[:, 1 + s_n:].mul(-1.0)
 
     sdf_label = -disp                                        # (reference :220)
-    if cos_inc is not None:
+    if cos_inc is not None and incidence_mode == "weight":
+        # keep the projective labels, scale the free columns' LOSS WEIGHT
+        # by |cos| instead: the grazing rays' biased free labels (truly
+        # only d*cos above the surface) lose pull without ever teaching
+        # sdf ~ 0 in free space (the label-mode failure on floor-
+        # dominated scenes: free labels -> 0 at grazing run the tracker
+        # away upward). The negative sign marking free columns is kept.
+        wscale = jnp.ones((n, a))
+        wscale = wscale.at[:, 1 + s_n:].set(
+            jnp.broadcast_to(cos_inc[:, None], (n, f_n + b_n)))
+        weight = weight * wscale
+    elif cos_inc is not None:
         # incidence-weighted projective labels, FREE-SPACE columns only.
         # Mechanism of the "floor learned ~0.5 m low" long-range bias: a
         # free-space sample at along-ray offset d from a surface hit at

@@ -466,6 +466,7 @@ class PinSLAMSystem:
                 sem_labels=sem,
                 colors=colors,
                 cos_inc=cos_inc,
+                incidence_mode=c.incidence_mode,
             )
             world = transform_points(smp.points, T)
             # ONE near-surface compaction (|sdf| < 3x range, uniform
